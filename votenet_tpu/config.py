@@ -1,0 +1,117 @@
+"""Framework configuration.
+
+The reference keeps its constants in a 6-line module
+(``/root/reference/config.py:1-6``) plus hard-coded values scattered through
+``run.py`` (batch size, LR schedule, data paths) and ``model.py`` (NMS IoU).
+Here everything lives in one frozen dataclass with CLI override support, with
+defaults equal to the reference values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """All knobs of the framework; defaults replicate the reference recipe."""
+
+    # --- model constants (reference config.py:1-6) ---
+    point_num: int = 20480       # POINT_NUM: input points per scene
+    num_heading_bin: int = 12    # NH: heading bins
+    num_size_cluster: int = 10   # NS: size classes
+    num_class: int = 10          # NC: semantic classes
+    positive_thres: float = 0.3  # POSITIVE_THRES: proposal<->GT center dist
+    negative_thres: float = 0.6  # NEGATIVE_THRES
+    proposal_num: int = 256      # PROPOSAL_NUM
+
+    # --- fixed-shape padding (TPU requires static shapes; the reference
+    # uses variable-length GT tensors padded per-batch, run.py:62-64) ---
+    max_gt_boxes: int = 64       # static GT-box axis; reference pads to the
+                                 # per-batch max with edge (replicated) boxes
+
+    # --- backbone architecture (reference model.py:39-49) ---
+    sa_npoints: Tuple[int, ...] = (2048, 1024, 512, 256)
+    sa_radii: Tuple[float, ...] = (0.2, 0.4, 0.8, 1.2)
+    sa_nsamples: Tuple[int, ...] = (64, 64, 64, 64)
+    sa_mlps: Tuple[Tuple[int, ...], ...] = (
+        (64, 64, 128),
+        (128, 128, 256),
+        (128, 128, 256),
+        (128, 128, 256),
+    )
+    fp_mlps: Tuple[Tuple[int, ...], ...] = ((256, 256), (256, 256))
+    vote_units: Tuple[int, ...] = (256, 256, 256 + 3)  # model.py:54
+    proposal_radius: float = 0.3       # model.py:89-93
+    proposal_nsample: int = 64
+    proposal_mlp: Tuple[int, ...] = (128, 128, 128)
+    proposal_mlp2_hidden: Tuple[int, ...] = (128, 128)  # + head channels
+
+    # --- inference (reference model.py:97) ---
+    nms_iou: float = 0.25
+    max_detections: int = 256    # static cap on NMS survivors (= proposal_num)
+
+    # --- training recipe (reference run.py:11,113,130,134; model.py:241-249) ---
+    batch_size: int = 2
+    base_lr: float = 1e-3
+    lr_schedule: Tuple[Tuple[int, float], ...] = ((80, 1e-4), (120, 1e-5))
+    grad_clip_avg_norm: float = 0.5
+    max_epoch: int = 260
+    eval_every_k_epochs: int = 5
+    augment_x: int = 5           # dataset.py:29 — cached augmentations/scene
+
+    # --- loss weights (reference model.py:207,231) ---
+    w_obj: float = 0.5
+    w_box: float = 1.0
+    w_sem: float = 0.1
+    w_heading_cls: float = 0.1
+    w_size_cls: float = 0.1
+
+    # --- numerics / performance ---
+    bn_momentum: float = 0.9     # tensorpack BatchNorm default decay
+    bn_eps: float = 1e-5
+    compute_dtype: str = "float32"   # "bfloat16" to run MLPs on MXU in bf16
+    use_pallas: bool = True      # Pallas kernels on TPU; XLA fallback elsewhere
+
+    # --- data (reference run.py:99,129) ---
+    data_root: str = "/data/mysunrgbd"
+    cache_dir: Optional[str] = None
+    train_idx_range: Tuple[int, int] = (5051, 10336)  # [lo, hi)
+    val_idx_range: Tuple[int, int] = (1, 5051)
+
+    # --- parallelism (new; the reference is single-GPU, SURVEY §2.3) ---
+    mesh_shape: Tuple[int, ...] = (1,)   # 1-D data-parallel mesh over "data"
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+
+    @property
+    def num_proposal_channels(self) -> int:
+        """Head channel count: 5 + 2*NH + 4*NS + NC (= 79), model.py:91."""
+        return 5 + 2 * self.num_heading_bin + 4 * self.num_size_cluster + self.num_class
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def default_config(**overrides) -> Config:
+    """The reference training configuration, with optional overrides."""
+    return Config(**overrides)
+
+
+def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
+    """Build a Config from ``--key=value`` CLI overrides.
+
+    The reference has no flag system at all (SURVEY §5); this provides one
+    with defaults identical to the hard-coded reference values.
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(description="votenet_tpu configuration")
+    for field in dataclasses.fields(Config):
+        if isinstance(field.default, (int, float, str, bool)):
+            parser.add_argument(
+                f"--{field.name}", type=type(field.default), default=field.default
+            )
+    args, _ = parser.parse_known_args(argv)
+    known = {f.name for f in dataclasses.fields(Config)}
+    return Config(**{k: v for k, v in vars(args).items() if k in known})

@@ -1,0 +1,32 @@
+"""Shared helpers for the point-cloud ops."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Exact squared euclidean distances between two point sets.
+
+    a: (..., M, 3), b: (..., N, 3) -> (..., M, N).
+
+    Computed as an explicit difference-square-sum (XLA fuses this into a
+    single loop, nothing 4-D hits HBM) rather than the matmul expansion
+    ``|a|^2+|b|^2-2ab`` — the direct form is exact, which matters because the
+    ball-query radius test is a strict comparison whose outcome feeds integer
+    indices (reference semantics tf_grouping_g.cu:24-25).
+    """
+    diff = a[..., :, None, :] - b[..., None, :, :]
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def pairwise_sqdist_mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """MXU-friendly squared distances via the matmul expansion.
+
+    Faster for large M*N but inexact in the last few ulps; used where the
+    result feeds a continuous computation, not an index decision.
+    """
+    a2 = jnp.sum(a * a, axis=-1)
+    b2 = jnp.sum(b * b, axis=-1)
+    ab = jnp.einsum("...md,...nd->...mn", a, b)
+    return a2[..., :, None] + b2[..., None, :] - 2.0 * ab

@@ -1,0 +1,54 @@
+"""Three-nearest-neighbor inverse-distance interpolation.
+
+TPU-native rebuild of the reference CPU package ``tf_ops/3d_interpolation``
+(`tf_interpolate.py`, `tf_interpolate.cpp`). In the reference these ops are
+registered CPU-only, forcing a GPU->CPU->GPU round trip per FP module
+(SURVEY §3.1); here they stay on device — the largest single speed lever.
+
+Semantics matched:
+
+- ``three_nn`` returns **squared** distances of the 3 nearest neighbors in
+  ascending order with first-index tie-breaking (tf_interpolate.cpp:60-103)
+  and is non-differentiable (tf_interpolate.py:18) — outputs are
+  stop-gradiented so no gradient leaks through the distance matrix (the new
+  framework would otherwise differentiate through it, unlike the reference).
+- ``three_interpolate`` computes a weighted sum of 3 source rows; its VJP
+  w.r.t. ``points`` is the scatter of grad*weight (tf_interpolate.cpp:131-153),
+  which JAX derives automatically from take_along_axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from votenet_tpu.ops.common import pairwise_sqdist
+
+
+@jax.jit
+def three_nn(xyz1: jnp.ndarray, xyz2: jnp.ndarray):
+    """3 nearest neighbors of each xyz1 point among xyz2 points.
+
+    xyz1: (B, N, 3) query points; xyz2: (B, M, 3) source points.
+    Returns (dist2, idx) each (B, N, 3): squared distances ascending, int32
+    indices into M. Both stop-gradiented (see module docstring).
+    """
+    d2 = pairwise_sqdist(xyz1, xyz2)  # (B, N, M)
+    neg, idx = lax.top_k(-d2, 3)
+    return lax.stop_gradient(-neg), lax.stop_gradient(idx.astype(jnp.int32))
+
+
+def three_interpolate(points: jnp.ndarray, idx: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+    """Weighted 3-neighbor interpolation.
+
+    points: (B, M, C) source features; idx: (B, N, 3) neighbor indices;
+    weight: (B, N, 3) interpolation weights.
+    Returns (B, N, C): ``out[b,n] = sum_j weight[b,n,j] * points[b,idx[b,n,j]]``
+    (reference tf_interpolate.cpp:107-127).
+    """
+    B, N, _ = idx.shape
+    C = points.shape[-1]
+    flat = idx.reshape(B, N * 3, 1).astype(jnp.int32)
+    gathered = jnp.take_along_axis(points, flat, axis=1).reshape(B, N, 3, C)
+    return jnp.sum(gathered * weight[..., None], axis=2)

@@ -1,0 +1,142 @@
+"""Exact oriented 3D box IoU, vectorized for TPU.
+
+Rebuilds the convex polygon-clip IoU used in two places in the reference:
+the C++ NMS kernel (tf_ops/3d_nms/tf_nms3d.cpp:43-192: point-in-polygon +
+segment intersections + atan2 sort + triangle-fan area) and the shapely-based
+eval IoU (evaluator.py:26-39). Both compute the same quantity: the exact
+intersection area of the two top-face x/z quadrilaterals times the y overlap,
+over the union volume.
+
+The reference clips one polygon pair at a time on the CPU; here the whole
+pairwise (N, M) IoU matrix is computed at once on device with fixed shapes:
+the intersection polygon of two convex quads has at most 4+4+16 = 24
+candidate vertices (corners of each quad inside the other plus edge-pair
+intersections), which we mask, sort by angle around their centroid, and
+integrate with a masked cyclic shoelace.
+
+Box corner layout (must match model decode, reference model.py:100-112):
+corners 0-3 = top face (+h/2), corners 4-7 = bottom face; top-face polygon is
+corners[:4] in (x, z); y extent is corners[0].y (top) to corners[4].y.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_EPS = 1e-12
+
+
+def _cross2(o, a, b):
+    """2D cross product (a-o) x (b-o); broadcasts over leading dims."""
+    return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
+        a[..., 1] - o[..., 1]
+    ) * (b[..., 0] - o[..., 0])
+
+
+def quad_signed_area(quad: jnp.ndarray) -> jnp.ndarray:
+    """Shoelace signed area of a quad, (..., 4, 2) -> (...,)."""
+    x, z = quad[..., 0], quad[..., 1]
+    xn, zn = jnp.roll(x, -1, axis=-1), jnp.roll(z, -1, axis=-1)
+    return 0.5 * jnp.sum(x * zn - xn * z, axis=-1)
+
+
+def _points_in_quad(pts: jnp.ndarray, quad: jnp.ndarray) -> jnp.ndarray:
+    """pts (..., P, 2) inside convex quad (..., 4, 2) -> (..., P) bool.
+
+    Orientation-agnostic: a point is inside iff all edge cross products share
+    the polygon's orientation sign (boundary inclusive, matching the
+    reference's pointInPolygon boundary behavior, tf_nms3d.cpp:53-67).
+    """
+    sign = jnp.sign(quad_signed_area(quad))[..., None, None]  # (..., 1, 1)
+    a = quad[..., None, :, :]  # (..., 1, 4, 2)
+    b = jnp.roll(quad, -1, axis=-2)[..., None, :, :]
+    p = pts[..., :, None, :]  # (..., P, 1, 2)
+    cr = _cross2(a, b, p)  # (..., P, 4)
+    return jnp.all(sign * cr >= -_EPS, axis=-1)
+
+
+def _edge_intersections(P: jnp.ndarray, Q: jnp.ndarray):
+    """All 16 edge-pair intersection points of two quads.
+
+    P, Q: (..., 4, 2). Returns (points (..., 16, 2), valid (..., 16)).
+    Standard parametric segment-segment intersection (the reference's
+    getIntersectionPoint, tf_nms3d.cpp:69-100).
+    """
+    a1 = P[..., :, None, :]  # (..., 4, 1, 2)
+    a2 = jnp.roll(P, -1, axis=-2)[..., :, None, :]
+    b1 = Q[..., None, :, :]  # (..., 1, 4, 2)
+    b2 = jnp.roll(Q, -1, axis=-2)[..., None, :, :]
+    da = a2 - a1
+    db = b2 - b1
+    denom = da[..., 0] * db[..., 1] - da[..., 1] * db[..., 0]  # (..., 4, 4)
+    dab = b1 - a1
+    t = (dab[..., 0] * db[..., 1] - dab[..., 1] * db[..., 0]) / jnp.where(
+        jnp.abs(denom) < _EPS, 1.0, denom
+    )
+    u = (dab[..., 0] * da[..., 1] - dab[..., 1] * da[..., 0]) / jnp.where(
+        jnp.abs(denom) < _EPS, 1.0, denom
+    )
+    valid = (jnp.abs(denom) >= _EPS) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    pt = a1 + t[..., None] * da  # (..., 4, 4, 2)
+    shp = pt.shape[:-3] + (16, 2)
+    return pt.reshape(shp), valid.reshape(shp[:-1])
+
+
+def convex_quad_intersection_area(P: jnp.ndarray, Q: jnp.ndarray) -> jnp.ndarray:
+    """Exact intersection area of two convex quads, (..., 4, 2) each -> (...,).
+
+    Collects masked candidate vertices, orders them by angle around the valid
+    centroid, and integrates a masked cyclic shoelace where invalid trailing
+    slots are collapsed onto the first valid vertex (zero contribution).
+    """
+    P, Q = jnp.broadcast_arrays(P, Q)
+    p_in_q = _points_in_quad(P, Q)  # (..., 4)
+    q_in_p = _points_in_quad(Q, P)  # (..., 4)
+    inter_pts, inter_valid = _edge_intersections(P, Q)  # (..., 16, 2)
+
+    pts = jnp.concatenate([P, Q, inter_pts], axis=-2)  # (..., 24, 2)
+    valid = jnp.concatenate([p_in_q, q_in_p, inter_valid], axis=-1)  # (..., 24)
+
+    cnt = jnp.sum(valid, axis=-1)  # (...,)
+    vf = valid[..., None].astype(pts.dtype)
+    centroid = jnp.sum(pts * vf, axis=-2) / jnp.maximum(cnt, 1)[..., None]
+
+    ang = jnp.arctan2(
+        pts[..., 1] - centroid[..., None, 1], pts[..., 0] - centroid[..., None, 0]
+    )
+    ang = jnp.where(valid, ang, jnp.inf)  # invalid sort to the back
+    order = jnp.argsort(ang, axis=-1)
+    pts_sorted = jnp.take_along_axis(pts, order[..., None], axis=-2)
+
+    iota = lax.broadcasted_iota(jnp.int32, valid.shape, valid.ndim - 1)
+    in_cycle = iota < cnt[..., None]
+    first = pts_sorted[..., :1, :]
+    cyc = jnp.where(in_cycle[..., None], pts_sorted, first)
+
+    x, z = cyc[..., 0], cyc[..., 1]
+    xn, zn = jnp.roll(x, -1, axis=-1), jnp.roll(z, -1, axis=-1)
+    area = 0.5 * jnp.abs(jnp.sum(x * zn - xn * z, axis=-1))
+    return jnp.where(cnt >= 3, area, 0.0)
+
+
+def box3d_iou_pairwise(c1: jnp.ndarray, c2: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise 3D IoU of aligned box arrays: (..., 8, 3) x2 -> (...,)."""
+    quad1 = jnp.stack([c1[..., :4, 0], c1[..., :4, 2]], axis=-1)
+    quad2 = jnp.stack([c2[..., :4, 0], c2[..., :4, 2]], axis=-1)
+    inter_area = convex_quad_intersection_area(quad1, quad2)
+    y1t, y1b = c1[..., 0, 1], c1[..., 4, 1]
+    y2t, y2b = c2[..., 0, 1], c2[..., 4, 1]
+    y_overlap = jnp.maximum(0.0, jnp.minimum(y1t, y2t) - jnp.maximum(y1b, y2b))
+    inter_vol = inter_area * y_overlap
+    vol1 = jnp.abs(quad_signed_area(quad1)) * (y1t - y1b)
+    vol2 = jnp.abs(quad_signed_area(quad2)) * (y2t - y2b)
+    denom = vol1 + vol2 - inter_vol
+    return jnp.where(denom > _EPS, inter_vol / jnp.where(denom > _EPS, denom, 1.0), 0.0)
+
+
+@jax.jit
+def box3d_iou_matrix(c1: jnp.ndarray, c2: jnp.ndarray) -> jnp.ndarray:
+    """Full pairwise IoU matrix: (..., N, 8, 3), (..., M, 8, 3) -> (..., N, M)."""
+    return box3d_iou_pairwise(c1[..., :, None, :, :], c2[..., None, :, :, :])
