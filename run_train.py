@@ -1,0 +1,113 @@
+"""Training entry point (the reference's ``python run.py``, run.py:95-136).
+
+Usage:
+  python run_train.py                           # real SUN RGB-D data
+  python run_train.py --synthetic=1             # synthetic-scene smoke run
+  python run_train.py --data_root=/data/mysunrgbd --cache_dir=cache_train
+
+Defaults replicate the reference recipe: batch 2, Adam 1e-3 -> 1e-4 @80 ->
+1e-5 @120, 260 epochs, mAP eval every 5 epochs, train split = indices
+5051-10335, val = 1-5050 of the 'training' split (run.py:99,129).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_root", default="/data/mysunrgbd")
+    parser.add_argument("--cache_dir", default="cache_train")
+    parser.add_argument("--log_dir", default="train_log/run")
+    parser.add_argument("--synthetic", type=int, default=0,
+                        help="train on N synthetic scenes instead of real data")
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--max_epoch", type=int, default=None)
+    parser.add_argument("--pad_semantics", default="reference",
+                        choices=["reference", "masked"])
+    args = parser.parse_args()
+
+    from votenet_tpu.config import default_config
+    from votenet_tpu.data.dataflow import SunRGBDDataFlow, batch_scenes
+    from votenet_tpu.data.synthetic import synthetic_gt_all, synthetic_scenes
+    from votenet_tpu.eval.evaluator import Evaluator, make_predict_fn
+    from votenet_tpu.models.votenet import VoteNet
+    from votenet_tpu.parallel.mesh import make_mesh
+    from votenet_tpu.train.loop import Trainer
+    from votenet_tpu.train.state import create_train_state
+
+    cfg = default_config()
+    if args.batch_size:
+        cfg = cfg.replace(batch_size=args.batch_size)
+    if args.max_epoch:
+        cfg = cfg.replace(max_epoch=args.max_epoch)
+    cfg = cfg.replace(data_root=args.data_root, cache_dir=args.cache_dir)
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh() if n_dev > 1 else None
+    if mesh is not None and cfg.batch_size % n_dev != 0:
+        cfg = cfg.replace(batch_size=n_dev * max(1, cfg.batch_size // n_dev))
+    print(f"devices={n_dev} batch={cfg.batch_size} mesh={mesh}")
+
+    if args.synthetic:
+        train_scenes = synthetic_scenes(0, cfg, args.synthetic)
+        val_scenes = synthetic_scenes(1, cfg, max(args.synthetic // 4, 2))
+        gt_all = synthetic_gt_all(val_scenes)
+
+        def batch_factory():
+            order = np.random.permutation(len(train_scenes))
+            return batch_scenes(
+                (train_scenes[i] for i in order), cfg.batch_size, cfg.max_gt_boxes
+            )
+
+        val_iter = lambda: [(int(s["data_idx"]), s["points"]) for s in val_scenes]
+    else:
+        train_flow = SunRGBDDataFlow(
+            cfg.data_root, "training", training=True, config=cfg,
+            idx_list=list(range(*cfg.train_idx_range)), cache_dir=args.cache_dir,
+        )
+        val_flow = SunRGBDDataFlow(
+            cfg.data_root, "training", training=False, config=cfg,
+            idx_list=list(range(*cfg.val_idx_range)),
+            cache_dir=args.cache_dir + "_val" if args.cache_dir else None,
+        )
+
+        def batch_factory():
+            return batch_scenes(iter(train_flow), cfg.batch_size, cfg.max_gt_boxes)
+
+        from votenet_tpu.eval.evaluator import gt_dict_from_labels
+
+        val_cache = [(s["data_idx"], s) for s in val_flow]
+        gt_all = gt_dict_from_labels({int(i): s for i, s in val_cache})
+        val_iter = lambda: [(int(i), s["points"]) for i, s in val_cache]
+
+    steps_per_epoch = max(
+        (args.synthetic or 5285) // cfg.batch_size, 1
+    )
+    state = create_train_state(jax.random.PRNGKey(0), cfg, steps_per_epoch)
+    model = VoteNet(cfg)
+    evaluator = Evaluator(cfg, gt_all, batch_size=max(cfg.batch_size, 4))
+
+    def eval_callback(state, epoch):
+        predict = make_predict_fn(
+            model, {"params": state.params, "batch_stats": state.batch_stats}, cfg
+        )
+        result = evaluator.evaluate(predict, val_iter())
+        print(f"[epoch {epoch}] mAP0.25={result['mAP']:.4f}")
+        return {"mAP0.25": result["mAP"]}
+
+    trainer = Trainer(
+        model, cfg, state,
+        log_dir=args.log_dir, mesh=mesh,
+        pad_semantics=args.pad_semantics, eval_callback=eval_callback,
+    )
+    trainer.fit(batch_factory)
+
+
+if __name__ == "__main__":
+    main()

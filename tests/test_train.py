@@ -1,0 +1,164 @@
+"""Training-harness tests: optimizer semantics, schedule, checkpointing,
+smoke training, and the data-parallel mesh path."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from votenet_tpu.config import Config
+from votenet_tpu.train.optimizer import clip_by_average_norm, make_lr_schedule
+
+
+class TestClipByAverageNorm:
+    def test_matches_tf_semantics(self, rng):
+        """scale = min(1, clip_norm * num_elements / l2norm)."""
+        g = rng.randn(4, 5).astype(np.float32) * 10
+        tx = clip_by_average_norm(0.5)
+        state = tx.init(None)
+        out, _ = tx.update({"w": jnp.asarray(g)}, state)
+        l2 = np.linalg.norm(g)
+        scale = min(1.0, 0.5 * g.size / l2)
+        np.testing.assert_allclose(np.asarray(out["w"]), g * scale, rtol=1e-6)
+
+    def test_small_grad_untouched(self):
+        g = jnp.full((10,), 1e-4)
+        tx = clip_by_average_norm(0.5)
+        out, _ = tx.update({"w": g}, tx.init(None))
+        np.testing.assert_allclose(np.asarray(out["w"]), np.asarray(g))
+
+
+class TestSchedule:
+    def test_boundaries(self):
+        # reference: 1e-3 -> 1e-4 after epoch 80 -> 1e-5 after epoch 120
+        sched = make_lr_schedule(1e-3, ((80, 1e-4), (120, 1e-5)), steps_per_epoch=10)
+        assert float(sched(0)) == pytest.approx(1e-3)
+        assert float(sched(799)) == pytest.approx(1e-3)
+        assert float(sched(801)) == pytest.approx(1e-4)
+        assert float(sched(1201)) == pytest.approx(1e-5, rel=1e-5)
+
+
+def smoke_config():
+    return Config(
+        point_num=256,
+        sa_npoints=(64, 32, 16, 8),
+        sa_nsamples=(8, 8, 8, 8),
+        sa_mlps=((16, 16, 32), (32, 32, 64), (32, 32, 64), (32, 32, 64)),
+        fp_mlps=((64, 64), (64, 64)),
+        vote_units=(64, 64, 64 + 3),
+        proposal_nsample=8,
+        proposal_mlp=(32, 32, 32),
+        proposal_mlp2_hidden=(32, 32),
+        proposal_num=16,
+        max_gt_boxes=8,
+        batch_size=2,
+    )
+
+
+def synthetic_batches(cfg, n_batches, seed=0):
+    from votenet_tpu.data.dataflow import batch_scenes
+    from votenet_tpu.data.synthetic import synthetic_scenes
+
+    scenes = synthetic_scenes(seed, cfg, n_batches * cfg.batch_size)
+    return list(batch_scenes(iter(scenes), cfg.batch_size, cfg.max_gt_boxes))
+
+
+class TestTrainStep:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from votenet_tpu.models.votenet import VoteNet
+        from votenet_tpu.train.loop import make_train_step
+        from votenet_tpu.train.state import create_train_state
+
+        cfg = smoke_config()
+        state = create_train_state(jax.random.PRNGKey(0), cfg, steps_per_epoch=4)
+        model = VoteNet(cfg)
+        step = jax.jit(make_train_step(model, cfg))
+        return cfg, model, state, step
+
+    def test_loss_decreases_on_fixed_batch(self, setup):
+        cfg, model, state, step = setup
+        batch = synthetic_batches(cfg, 1)[0]
+        losses = []
+        for _ in range(12):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["total_cost"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], f"no overfit progress: {losses}"
+
+    def test_step_counter_advances(self, setup):
+        cfg, model, state, step = setup
+        batch = synthetic_batches(cfg, 1)[0]
+        s1, _ = step(state, batch)
+        assert int(s1.step) == int(state.step) + 1
+
+
+class TestCheckpoint:
+    def test_roundtrip_and_autoresume(self, tmp_path):
+        from votenet_tpu.train.state import create_train_state
+        from votenet_tpu.utils import checkpoint as ckpt
+
+        cfg = smoke_config()
+        state = create_train_state(jax.random.PRNGKey(0), cfg, steps_per_epoch=4)
+        log_dir = str(tmp_path / "ckpt")
+        ckpt.save_checkpoint(log_dir, state, step=3)
+        ckpt.save_checkpoint(log_dir, state, step=7)
+        assert ckpt.latest_checkpoint_step(log_dir) == 7
+
+        template = create_train_state(jax.random.PRNGKey(1), cfg, steps_per_epoch=4)
+        restored, step = ckpt.restore_checkpoint(log_dir, template)
+        assert step == 7
+        orig = jax.tree_util.tree_leaves(state.params)
+        got = jax.tree_util.tree_leaves(restored.params)
+        for a, b in zip(orig, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_keep_limit(self, tmp_path):
+        from votenet_tpu.train.state import create_train_state
+        from votenet_tpu.utils import checkpoint as ckpt
+
+        cfg = smoke_config()
+        state = create_train_state(jax.random.PRNGKey(0), cfg, steps_per_epoch=4)
+        log_dir = str(tmp_path / "ckpt")
+        for s in range(1, 6):
+            ckpt.save_checkpoint(log_dir, state, step=s, keep=2)
+        assert sorted(ckpt.all_checkpoint_steps(log_dir)) == [4, 5]
+
+
+class TestDataParallel:
+    def test_mesh_step_matches_single_device(self):
+        """One DP step on the 8-device mesh == the same step on one device."""
+        from votenet_tpu.models.votenet import VoteNet
+        from votenet_tpu.parallel.mesh import (
+            batch_sharding, make_mesh, replicated_sharding, shard_batch,
+        )
+        from votenet_tpu.train.loop import make_train_step
+        from votenet_tpu.train.state import create_train_state
+
+        cfg = smoke_config().replace(batch_size=8)
+        state = create_train_state(jax.random.PRNGKey(0), cfg, steps_per_epoch=4)
+        model = VoteNet(cfg)
+        batch = synthetic_batches(cfg, 1)[0]
+        step_fn = make_train_step(model, cfg)
+
+        s_single, m_single = jax.jit(step_fn)(state, batch)
+
+        mesh = make_mesh(jax.devices()[:8])
+        repl, data = replicated_sharding(mesh), batch_sharding(mesh)
+        step_mesh = jax.jit(step_fn, in_shardings=(repl, data), out_shardings=(repl, repl))
+        s_mesh, m_mesh = step_mesh(state, shard_batch(batch, mesh))
+
+        np.testing.assert_allclose(
+            float(m_single["total_cost"]), float(m_mesh["total_cost"]), rtol=1e-4
+        )
+        a = jax.tree_util.tree_leaves(s_single.params)
+        b = jax.tree_util.tree_leaves(s_mesh.params)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-3, atol=2e-5)
+
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)

@@ -1,0 +1,240 @@
+"""PointNet++ set-abstraction / feature-propagation modules, TPU-native.
+
+Rebuilds the reference layer library (``/root/reference/utils.py``) on top of
+the fixed-shape ops in :mod:`votenet_tpu.ops`. The reference's 1x1
+``Conv2D`` + tensorpack ``BNReLU`` stacks become Dense layers on the channel
+axis (identical math; a 1x1 NHWC conv is a per-position matmul that XLA runs
+on the MXU) with flax BatchNorm configured to tensorpack defaults
+(momentum 0.9, eps 1e-5).
+
+Reference mapping:
+- :func:`sample_and_group`      <- utils.py:25-61 (incl. the ``sample_xyz``
+  cross-cloud FPS used by the proposal module, utils.py:42-43)
+- :func:`sample_and_group_all`  <- utils.py:64-90
+- :class:`PointNetSAModule`     <- utils.py:93-158
+- :class:`PointNetSAModuleMSG`  <- utils.py:161-201 (unused by the model,
+  kept for API completeness — SURVEY §2 "known reference quirks")
+- :class:`PointNetFPModule`     <- utils.py:266-294
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from votenet_tpu import ops
+
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+
+class MLPStack(nn.Module):
+    """Shared per-point MLP: Dense + BN + ReLU per width.
+
+    ``final_activation=False`` leaves the last layer linear (the reference's
+    mlp2 stacks end with ``activation=None``, utils.py:153).
+    """
+
+    widths: Sequence[int]
+    final_activation: bool = True
+    use_bn: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for i, w in enumerate(self.widths):
+            last = i == len(self.widths) - 1
+            x = nn.Dense(w, dtype=self.dtype, name=f"dense{i}")(x)
+            if self.final_activation or not last:
+                if self.use_bn:
+                    x = nn.BatchNorm(
+                        use_running_average=not train,
+                        momentum=BN_MOMENTUM,
+                        epsilon=BN_EPS,
+                        dtype=self.dtype,
+                        name=f"bn{i}",
+                    )(x)
+                x = nn.relu(x)
+        return x
+
+
+def sample_and_group(
+    npoint: int,
+    radius: float,
+    nsample: int,
+    xyz: jnp.ndarray,
+    points: Optional[jnp.ndarray],
+    knn: bool = False,
+    use_xyz: bool = True,
+    sample_xyz: Optional[jnp.ndarray] = None,
+):
+    """FPS -> gather -> ball query (or kNN) -> group -> center-subtract.
+
+    Mirrors reference utils.py:25-61. When ``sample_xyz`` is given, FPS runs
+    on that cloud while gathering from ``xyz`` (the proposal module samples
+    votes at seed-FPS locations, utils.py:42-43).
+
+    Returns (new_xyz (B,npoint,3), new_points (B,npoint,nsample,C'),
+    idx (B,npoint,nsample), grouped_xyz).
+    """
+    fps_src = sample_xyz if sample_xyz is not None else xyz
+    new_xyz = ops.gather_point(xyz, ops.farthest_point_sample(npoint, fps_src))
+    if knn:
+        _, idx = ops.knn_point(nsample, xyz, new_xyz)
+    else:
+        idx, _ = ops.query_ball_point(radius, nsample, xyz, new_xyz)
+    grouped_xyz = ops.group_point(xyz, idx) - new_xyz[:, :, None, :]
+    if points is not None:
+        grouped_points = ops.group_point(points, idx)
+        if use_xyz:
+            new_points = jnp.concatenate([grouped_xyz, grouped_points], axis=-1)
+        else:
+            new_points = grouped_points
+    else:
+        new_points = grouped_xyz
+    return new_xyz, new_points, idx, grouped_xyz
+
+
+def sample_and_group_all(xyz: jnp.ndarray, points: Optional[jnp.ndarray], use_xyz: bool = True):
+    """Single group of all points centered at the origin (utils.py:64-90)."""
+    B, N, _ = xyz.shape
+    new_xyz = jnp.zeros((B, 1, 3), dtype=xyz.dtype)
+    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, None, :], (B, 1, N))
+    grouped_xyz = xyz[:, None, :, :]
+    if points is not None:
+        new_points = jnp.concatenate([xyz, points], axis=-1) if use_xyz else points
+        new_points = new_points[:, None, :, :]
+    else:
+        new_points = grouped_xyz
+    return new_xyz, new_points, idx, grouped_xyz
+
+
+class PointNetSAModule(nn.Module):
+    """PointNet Set Abstraction (reference utils.py:93-158).
+
+    group -> shared MLP -> pool -> optional post-MLP (last layer linear).
+    """
+
+    npoint: int
+    radius: float
+    nsample: int
+    mlp: Sequence[int]
+    mlp2: Optional[Sequence[int]] = None
+    group_all: bool = False
+    pooling: str = "max"
+    knn: bool = False
+    use_xyz: bool = True
+    use_bn: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jnp.ndarray,
+        points: Optional[jnp.ndarray],
+        train: bool,
+        sample_xyz: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        if self.group_all:
+            new_xyz, new_points, idx, grouped_xyz = sample_and_group_all(
+                xyz, points, self.use_xyz
+            )
+        else:
+            new_xyz, new_points, idx, grouped_xyz = sample_and_group(
+                self.npoint, self.radius, self.nsample, xyz, points,
+                self.knn, self.use_xyz, sample_xyz,
+            )
+
+        new_points = MLPStack(self.mlp, use_bn=self.use_bn, dtype=self.dtype, name="mlp")(
+            new_points, train
+        )
+
+        if self.pooling == "max":
+            new_points = jnp.max(new_points, axis=2)
+        elif self.pooling == "avg":
+            new_points = jnp.mean(new_points, axis=2)
+        elif self.pooling == "weighted_avg":
+            # exp(-5d) inverse-distance weights (utils.py:135-142)
+            dists = jnp.linalg.norm(grouped_xyz, axis=-1, keepdims=True)
+            exp_dists = jnp.exp(-dists * 5)
+            weights = exp_dists / jnp.sum(exp_dists, axis=2, keepdims=True)
+            new_points = jnp.sum(new_points * weights, axis=2)
+        elif self.pooling == "max_and_avg":
+            new_points = jnp.concatenate(
+                [jnp.mean(new_points, axis=2), jnp.max(new_points, axis=2)], axis=-1
+            )
+        else:
+            raise ValueError(f"unknown pooling {self.pooling!r}")
+
+        if self.mlp2 is not None:
+            new_points = MLPStack(
+                self.mlp2, final_activation=False, use_bn=self.use_bn,
+                dtype=self.dtype, name="mlp2",
+            )(new_points, train)
+
+        return new_xyz, new_points, idx
+
+
+class PointNetSAModuleMSG(nn.Module):
+    """Multi-scale-grouping SA module (reference utils.py:161-201).
+
+    Present for API completeness; the VoteNet model never calls it (SURVEY
+    §2 "known reference quirks").
+    """
+
+    npoint: int
+    radius_list: Sequence[float]
+    nsample_list: Sequence[int]
+    mlp_list: Sequence[Sequence[int]]
+    use_xyz: bool = True
+    use_bn: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, points, train: bool):
+        new_xyz = ops.gather_point(xyz, ops.farthest_point_sample(self.npoint, xyz))
+        outs = []
+        for i, (radius, nsample) in enumerate(zip(self.radius_list, self.nsample_list)):
+            idx, _ = ops.query_ball_point(radius, nsample, xyz, new_xyz)
+            grouped_xyz = ops.group_point(xyz, idx) - new_xyz[:, :, None, :]
+            if points is not None:
+                grouped = ops.group_point(points, idx)
+                if self.use_xyz:
+                    # note reversed concat order vs single-scale (utils.py:190)
+                    grouped = jnp.concatenate([grouped, grouped_xyz], axis=-1)
+            else:
+                grouped = grouped_xyz
+            grouped = MLPStack(
+                self.mlp_list[i], use_bn=self.use_bn, dtype=self.dtype,
+                name=f"mlp_scale{i}",
+            )(grouped, train)
+            outs.append(jnp.max(grouped, axis=2))
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class PointNetFPModule(nn.Module):
+    """Feature propagation: 3-NN inverse-distance upsampling + MLP
+    (reference utils.py:266-294). Stays fully on device — the reference
+    bounced to CPU here (its three_nn/three_interpolate are CPU-only ops).
+    """
+
+    mlp: Sequence[int]
+    use_bn: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz1, xyz2, points1, points2, train: bool):
+        dist, idx = ops.three_nn(xyz1, xyz2)
+        dist = jnp.maximum(dist, 1e-10)  # squared dists (utils.py:279)
+        inv = 1.0 / dist
+        weight = inv / jnp.sum(inv, axis=2, keepdims=True)
+        interpolated = ops.three_interpolate(points2, idx, weight)
+        if points1 is not None:
+            new_points = jnp.concatenate([interpolated, points1], axis=2)
+        else:
+            new_points = interpolated
+        return MLPStack(self.mlp, use_bn=self.use_bn, dtype=self.dtype, name="mlp")(
+            new_points, train
+        )

@@ -1,0 +1,141 @@
+"""The VoteNet model: backbone + deep Hough voting + proposal head.
+
+TPU-native rebuild of the reference graph (``/root/reference/model.py``):
+4 SA layers + 2 FP layers (model.py:39-49), a 3-layer shared voting MLP that
+offsets both seed coordinates and features (model.py:53-60), and a proposal
+SA module whose FPS runs on the seeds while gathering the votes
+(model.py:89-93) ending in the 79-channel head:
+
+  [0:2]  objectness logits          [5+2NH : 5+2NH+NS]       size-class logits
+  [2:5]  center offset              [5+2NH+NS : 5+2NH+4NS]   size residuals (NSx3)
+  [5:5+NH]      heading-class logits  [-NC:]                 semantic logits
+  [5+NH:5+2NH]  heading residuals
+
+(model.py:95,115-125,170,186,191,197,203,210; NH=12, NS=NC=10 -> 79.)
+
+Functional-JAX design: ``VoteNet.init`` builds a params/batch_stats pytree;
+``apply`` is pure, jit/pjit-able, and returns an end-points dict consumed by
+:mod:`votenet_tpu.models.losses` (training) and
+:mod:`votenet_tpu.models.decode` (inference). There is no training/inference
+graph fork inside the model (the reference rebuilds its graph per tower);
+decode + NMS are separate pure functions applied on top.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from votenet_tpu.config import Config
+from votenet_tpu.models.pointnet2 import (
+    BN_EPS,
+    BN_MOMENTUM,
+    PointNetFPModule,
+    PointNetSAModule,
+)
+
+
+class VotingModule(nn.Module):
+    """Shared FC stack producing per-seed (xyz, feature) offsets.
+
+    Mirrors model.py:53-60: widths (256, 256, 259), BN+ReLU on all but the
+    last layer; the BN statistics are over the flattened (batch x seed) axis
+    exactly as the reference's FullyConnected-on-reshaped-input.
+    """
+
+    units: tuple
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, seeds: jnp.ndarray, train: bool) -> jnp.ndarray:
+        x = seeds
+        for i, w in enumerate(self.units):
+            x = nn.Dense(w, dtype=self.dtype, name=f"voting{i}")(x)
+            if i < len(self.units) - 1:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=BN_MOMENTUM,
+                    epsilon=BN_EPS,
+                    dtype=self.dtype,
+                    name=f"voting{i}_bn",
+                )(x)
+                x = nn.relu(x)
+        return x
+
+
+class VoteNet(nn.Module):
+    """Full VoteNet forward pass -> end-points dict."""
+
+    config: Config
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray, train: bool = False) -> Dict[str, Any]:
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+
+        l0_xyz = points
+        l0_points = points  # the reference feeds xyz as the l0 features (model.py:35-36)
+
+        xyz, feats = l0_xyz, l0_points
+        sa_out = []
+        for i in range(4):
+            xyz, feats, _ = PointNetSAModule(
+                npoint=cfg.sa_npoints[i],
+                radius=cfg.sa_radii[i],
+                nsample=cfg.sa_nsamples[i],
+                mlp=cfg.sa_mlps[i],
+                dtype=dtype,
+                name=f"sa{i + 1}",
+            )(xyz, feats, train)
+            sa_out.append((xyz, feats))
+
+        (l1_xyz, l1_points), (l2_xyz, l2_points), (l3_xyz, l3_points), (l4_xyz, l4_points) = sa_out
+
+        l3_points = PointNetFPModule(cfg.fp_mlps[0], dtype=dtype, name="fp1")(
+            l3_xyz, l4_xyz, l3_points, l4_points, train
+        )
+        seeds_points = PointNetFPModule(cfg.fp_mlps[1], dtype=dtype, name="fp2")(
+            l2_xyz, l3_xyz, l2_points, l3_points, train
+        )
+        seeds_xyz = l2_xyz
+
+        # Voting: offsets applied to the concatenated (xyz, feature) seed
+        # state — votes shift coordinates AND features (model.py:60)
+        seed_state = jnp.concatenate([seeds_xyz, seeds_points], axis=2)
+        offset = VotingModule(tuple(cfg.vote_units), dtype=dtype, name="voting")(
+            seed_state, train
+        )
+        votes = seed_state + offset
+        votes_xyz = votes[:, :, :3]
+        votes_points = votes[:, :, 3:]
+
+        # Proposal: FPS on seeds, gather votes (model.py:89-93, utils.py:42-43)
+        proposals_xyz, proposals_output, _ = PointNetSAModule(
+            npoint=cfg.proposal_num,
+            radius=cfg.proposal_radius,
+            nsample=cfg.proposal_nsample,
+            mlp=cfg.proposal_mlp,
+            mlp2=tuple(cfg.proposal_mlp2_hidden) + (cfg.num_proposal_channels,),
+            dtype=dtype,
+            name="proposal",
+        )(votes_xyz, votes_points, train, sample_xyz=seeds_xyz)
+
+        return {
+            "seeds_xyz": seeds_xyz,
+            "seeds_points": seeds_points,
+            "votes_xyz": votes_xyz,
+            "votes_points": votes_points,
+            "proposals_xyz": proposals_xyz,
+            "proposals_output": proposals_output.astype(jnp.float32),
+            "obj_scores": proposals_output[..., :2].astype(jnp.float32),
+        }
+
+
+def init_votenet(rng, config: Config):
+    """Initialize (params, batch_stats) for a VoteNet."""
+    model = VoteNet(config)
+    dummy = jnp.zeros((1, config.point_num, 3), dtype=jnp.float32)
+    variables = model.init(rng, dummy, train=False)
+    return model, variables

@@ -1,0 +1,158 @@
+"""Training harness: jitted train step, epoch loop, callbacks.
+
+Replaces the reference's Tensorpack stack (run.py:95-136): SimpleTrainer ->
+jitted/pjit-ed functional train step; ModelSaver -> per-epoch checkpoints
+with auto-resume; ScheduledHyperParamSetter -> optax schedule;
+SimpleMovingAverage + ScalarPrinter -> MetricLogger; PeriodicTrigger
+(Evaluator) -> the eval callback every k epochs.
+
+With a multi-device mesh the same step function runs data-parallel: the
+batch is sharded over the "data" axis, the state is replicated, and XLA
+inserts the gradient/batch-norm all-reduces over ICI (SURVEY §2.3's
+"TPU-native equivalents to build").
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from votenet_tpu.config import Config
+from votenet_tpu.models.losses import votenet_loss
+from votenet_tpu.train.state import TrainState
+from votenet_tpu.utils import checkpoint as ckpt
+from votenet_tpu.utils.metrics import MetricLogger
+
+GT_KEYS = (
+    "bboxes_xyz", "bboxes_lwh", "bboxes_roty", "semantic_labels",
+    "heading_labels", "heading_residuals", "size_labels", "size_residuals",
+    "gt_count",
+)
+
+
+def make_train_step(model, config: Config, pad_semantics: str = "reference"):
+    """Build the pure (state, batch) -> (state, metrics) step function."""
+
+    def train_step(state: TrainState, batch: Dict):
+        gt = {k: batch[k] for k in GT_KEYS}
+
+        def loss_fn(params):
+            end_points, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["points"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            losses = votenet_loss(end_points, gt, config, pad_semantics)
+            return losses.total, (losses, mutated["batch_stats"])
+
+        (_, (losses, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads, batch_stats=new_bs)
+        metrics = {
+            "total_cost": losses.total,
+            "vote_reg_loss": losses.vote_reg_loss,
+            "obj_cls_loss": losses.obj_cls_loss,
+            "box_loss": losses.box_loss,
+            "sem_cls_loss": losses.sem_cls_loss,
+            "obj_accuracy": losses.obj_accuracy,
+            "sem_accuracy": losses.sem_accuracy,
+        }
+        return state, metrics
+
+    return train_step
+
+
+class Trainer:
+    """Epoch-driven training with checkpointing, logging and eval callbacks."""
+
+    def __init__(
+        self,
+        model,
+        config: Config,
+        state: TrainState,
+        log_dir: Optional[str] = None,
+        mesh=None,
+        pad_semantics: str = "reference",
+        eval_callback: Optional[Callable[[TrainState, int], Dict]] = None,
+    ):
+        self.model = model
+        self.config = config
+        self.state = state
+        self.log_dir = log_dir
+        self.mesh = mesh
+        self.eval_callback = eval_callback
+        self.logger = MetricLogger(log_dir)
+        self.epoch = 0
+
+        step_fn = make_train_step(model, config, pad_semantics)
+        if mesh is not None:
+            from votenet_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+            repl = replicated_sharding(mesh)
+            data = batch_sharding(mesh)
+            self._train_step = jax.jit(
+                step_fn,
+                in_shardings=(repl, data),
+                out_shardings=(repl, repl),
+                donate_argnums=0,
+            )
+        else:
+            self._train_step = jax.jit(step_fn, donate_argnums=0)
+
+    def resume(self) -> Optional[int]:
+        """Auto-resume from the latest checkpoint (AutoResumeTrainConfig)."""
+        if not self.log_dir:
+            return None
+        state, step = ckpt.restore_checkpoint(self.log_dir, self.state)
+        if step is not None:
+            self.state = state
+            self.epoch = int(step)
+            print(f"resumed from epoch {self.epoch}", flush=True)
+        return step
+
+    def _put_batch(self, batch: Dict) -> Dict:
+        if self.mesh is not None:
+            from votenet_tpu.parallel.mesh import shard_batch
+
+            return shard_batch(batch, self.mesh)
+        return batch
+
+    def train_epoch(self, batches: Iterable[Dict]) -> Dict[str, float]:
+        step_in_epoch = 0
+        for batch in batches:
+            self.state, metrics = self._train_step(self.state, self._put_batch(batch))
+            step_in_epoch += 1
+            host = {k: float(v) for k, v in metrics.items()}
+            self.logger.log_step(int(self.state.step), host)
+        self.epoch += 1
+        return self.logger.moving.averages()
+
+    def fit(
+        self,
+        batch_factory: Callable[[], Iterable[Dict]],
+        max_epoch: Optional[int] = None,
+    ):
+        """Full training run with per-epoch checkpoints and periodic eval."""
+        max_epoch = max_epoch or self.config.max_epoch
+        self.resume()
+        while self.epoch < max_epoch:
+            t0 = time.time()
+            self.train_epoch(batch_factory())
+            epoch_scalars = {"epoch_time": time.time() - t0}
+            if (
+                self.eval_callback is not None
+                and self.epoch % self.config.eval_every_k_epochs == 0
+            ):
+                eval_metrics = self.eval_callback(self.state, self.epoch)
+                epoch_scalars.update(
+                    {k: v for k, v in eval_metrics.items() if isinstance(v, (int, float))}
+                )
+            self.logger.log_epoch(self.epoch, epoch_scalars)
+            if self.log_dir:
+                ckpt.save_checkpoint(self.log_dir, self.state, self.epoch)
+        return self.state
