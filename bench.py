@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Benchmark harness. Default: headline end-to-end SUN RGB-D inference
+scenes/sec/chip on full-size VoteNet (20480 pts, backbone + voting +
+proposal + decode + 3D NMS), printed as ONE JSON line.
+
+Sub-benchmarks (for kernel tuning):
+  python bench.py sa_layer     # fused SA-layer microbenchmark (µs)
+  python bench.py fps          # farthest-point-sampling kernel (µs)
+  python bench.py ball_query   # ball-query kernel (µs)
+  python bench.py train_step   # full training step (steps/s)
+
+vs_baseline: the reference publishes no speed numbers (BASELINE.md); the
+driver-defined target is >=10x a CPU reference. We use our own XLA-CPU
+throughput on this machine (recorded once in benchmarks/cpu_reference.json)
+as the CPU-reference proxy, and report value / (10 * cpu_proxy) — i.e.
+vs_baseline >= 1.0 means the 10x target is met.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+CPU_REF_FILE = os.path.join(os.path.dirname(__file__), "benchmarks", "cpu_reference.json")
+
+
+def _timeit(fn, iters=10, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _build_predict(batch_size: int):
+    import jax
+    import jax.numpy as jnp
+
+    from votenet_tpu.config import default_config
+    from votenet_tpu.models.decode import predict_boxes
+    from votenet_tpu.models.votenet import VoteNet
+
+    cfg = default_config()
+    model = VoteNet(cfg)
+    pts0 = jnp.zeros((1, cfg.point_num, 3), jnp.float32)
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(
+        jax.random.PRNGKey(0), pts0
+    )
+
+    @jax.jit
+    def predict(points):
+        end_points = model.apply(variables, points, train=False)
+        pred = predict_boxes(end_points, cfg)
+        return pred["bboxes"], pred["class_scores"], pred["keep"]
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-4, 4, (batch_size, cfg.point_num, 3)).astype(np.float32)
+    return predict, pts
+
+
+def bench_inference():
+    predict, pts = _build_predict(BATCH)
+    dt = _timeit(lambda: predict(pts), iters=10, warmup=3)
+    scenes_per_sec = BATCH / dt
+
+    vs_baseline = None
+    if os.path.exists(CPU_REF_FILE):
+        with open(CPU_REF_FILE) as f:
+            cpu_ref = json.load(f)["scenes_per_sec"]
+        vs_baseline = scenes_per_sec / (10.0 * cpu_ref)
+
+    print(json.dumps({
+        "metric": "sunrgbd_inference_scenes_per_sec_per_chip",
+        "value": round(scenes_per_sec, 3),
+        "unit": "scenes/s",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline is not None else None,
+    }))
+
+
+def bench_cpu_reference():
+    """Measure the CPU proxy once and record it (run manually on CPU)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    predict, pts = _build_predict(1)
+    dt = _timeit(lambda: predict(pts), iters=3, warmup=1)
+    os.makedirs(os.path.dirname(CPU_REF_FILE), exist_ok=True)
+    with open(CPU_REF_FILE, "w") as f:
+        json.dump({"scenes_per_sec": 1.0 / dt, "batch": 1,
+                   "note": "XLA-CPU full inference on the build machine"}, f, indent=1)
+    print(json.dumps({"metric": "cpu_reference_scenes_per_sec",
+                      "value": round(1.0 / dt, 4), "unit": "scenes/s",
+                      "vs_baseline": None}))
+
+
+def bench_sa_layer():
+    """First SA layer (FPS 20480->2048, ball query r=0.2 K=64, MLP, pool)."""
+    import jax
+    import jax.numpy as jnp
+
+    from votenet_tpu.config import default_config
+    from votenet_tpu.models.pointnet2 import PointNetSAModule
+
+    cfg = default_config()
+    mod = PointNetSAModule(
+        npoint=2048, radius=0.2, nsample=64, mlp=(64, 64, 128), name="sa1"
+    )
+    rng = np.random.RandomState(0)
+    xyz = jnp.asarray(rng.uniform(-4, 4, (BATCH, cfg.point_num, 3)), jnp.float32)
+    variables = jax.jit(lambda r: mod.init(r, xyz, xyz, train=False))(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def run(xyz):
+        return mod.apply(variables, xyz, xyz, train=False)
+
+    dt = _timeit(lambda: run(xyz), iters=20, warmup=3)
+    print(json.dumps({"metric": "fused_sa_layer_us", "value": round(dt * 1e6, 1),
+                      "unit": "us", "vs_baseline": None}))
+
+
+def bench_fps():
+    import jax
+    import jax.numpy as jnp
+
+    from votenet_tpu.ops import farthest_point_sample
+
+    rng = np.random.RandomState(0)
+    xyz = jnp.asarray(rng.uniform(-4, 4, (BATCH, 20480, 3)), jnp.float32)
+    fn = jax.jit(lambda x: farthest_point_sample(2048, x))
+    dt = _timeit(lambda: fn(xyz), iters=10, warmup=2)
+    print(json.dumps({"metric": "fps_20480_to_2048_us", "value": round(dt * 1e6, 1),
+                      "unit": "us", "vs_baseline": None}))
+
+
+def bench_ball_query():
+    import jax
+    import jax.numpy as jnp
+
+    from votenet_tpu.ops import query_ball_point
+
+    rng = np.random.RandomState(0)
+    xyz = jnp.asarray(rng.uniform(-4, 4, (BATCH, 20480, 3)), jnp.float32)
+    q = xyz[:, :2048]
+    fn = jax.jit(lambda a, b: query_ball_point(0.2, 64, a, b))
+    dt = _timeit(lambda: fn(xyz, q), iters=10, warmup=2)
+    print(json.dumps({"metric": "ball_query_20480x2048_us", "value": round(dt * 1e6, 1),
+                      "unit": "us", "vs_baseline": None}))
+
+
+def bench_train_step():
+    import jax
+
+    from votenet_tpu.config import default_config
+    from votenet_tpu.data.dataflow import batch_scenes
+    from votenet_tpu.data.synthetic import synthetic_scenes
+    from votenet_tpu.models.votenet import VoteNet
+    from votenet_tpu.train.loop import make_train_step
+    from votenet_tpu.train.state import create_train_state
+
+    cfg = default_config().replace(batch_size=BATCH)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, steps_per_epoch=100)
+    model = VoteNet(cfg)
+    step = jax.jit(make_train_step(model, cfg))
+    batch = next(iter(batch_scenes(
+        iter(synthetic_scenes(0, cfg, cfg.batch_size)), cfg.batch_size, cfg.max_gt_boxes
+    )))
+
+    def run():
+        nonlocal state
+        state, m = step(state, batch)
+        return m["total_cost"]
+
+    dt = _timeit(run, iters=5, warmup=2)
+    print(json.dumps({"metric": "train_step_scenes_per_sec", "value": round(BATCH / dt, 3),
+                      "unit": "scenes/s", "vs_baseline": None}))
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "inference"
+    {
+        "inference": bench_inference,
+        "cpu_reference": bench_cpu_reference,
+        "sa_layer": bench_sa_layer,
+        "fps": bench_fps,
+        "ball_query": bench_ball_query,
+        "train_step": bench_train_step,
+    }[which]()
