@@ -29,15 +29,23 @@ BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 CPU_REF_FILE = os.path.join(os.path.dirname(__file__), "benchmarks", "cpu_reference.json")
 
 
-def _timeit(fn, iters=10, warmup=2):
+def _sync(out):
+    """Force completion. block_until_ready returns early under the axon
+    tunnel platform, so fetch one leaf to the host instead."""
     import jax
 
+    leaves = jax.tree_util.tree_leaves(out)
+    np.asarray(leaves[0])
+    return out
+
+
+def _timeit(fn, iters=10, warmup=2):
     for _ in range(warmup):
-        jax.block_until_ready(fn())
+        _sync(fn())
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 

@@ -26,22 +26,16 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from votenet_tpu.ops.common import pairwise_sqdist
+from votenet_tpu.ops.common import pairwise_sqdist, pairwise_sqdist_mm
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def query_ball_point(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2: jnp.ndarray):
-    """Fixed-radius neighborhood query.
+def query_ball_point_topk(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2: jnp.ndarray):
+    """Reference XLA formulation via top_k over index keys.
 
-    Args:
-      radius: ball radius (static).
-      nsample: max points per ball (static).
-      xyz1: (B, N, 3) dataset points.
-      xyz2: (B, M, 3) query points.
-
-    Returns:
-      idx: (B, M, nsample) int32 indices into N.
-      pts_cnt: (B, M) int32 number of hits (saturated at nsample).
+    Simple and exact, but lax.top_k over the full N axis lowers to a sort on
+    TPU (~hundreds of ms at SUN RGB-D sizes); kept as the readable oracle.
+    Use :func:`query_ball_point` (hierarchical) in the model path.
     """
     d2 = pairwise_sqdist(xyz2.astype(jnp.float32), xyz1.astype(jnp.float32))
     N = xyz1.shape[1]
@@ -58,6 +52,90 @@ def query_ball_point(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2: jnp.n
     idx = jnp.where(idx >= N, 0, idx)  # fully-empty ball -> 0 (see docstring)
     pts_cnt = jnp.minimum(jnp.sum(hit, axis=-1), nsample).astype(jnp.int32)
     return lax.stop_gradient(idx), lax.stop_gradient(pts_cnt)
+
+
+_BQ_CHUNK = 128  # lane-width chunks for the hierarchical search
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def query_ball_point(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2: jnp.ndarray):
+    """Fixed-radius neighborhood query (hierarchical, TPU-fast).
+
+    Args:
+      radius: ball radius (static).
+      nsample: max points per ball (static).
+      xyz1: (B, N, 3) dataset points.
+      xyz2: (B, M, 3) query points.
+
+    Returns:
+      idx: (B, M, nsample) int32 indices into N.
+      pts_cnt: (B, M) int32 number of hits (saturated at nsample).
+
+    Algorithm: "first nsample set bits" extracted with a two-level search
+    instead of a top_k/sort over N. Split N into chunks of 128 lanes;
+    per-chunk hit counts + exclusive cumsum locate, for every output slot s,
+    the chunk containing the (s+1)-th hit; a gather of just those chunks'
+    masks plus an in-chunk rank match yields the lane. O(M*N) for the mask +
+    O(M*nsample*128) for the search — no sort anywhere. Semantics identical
+    to the CUDA scan (tf_grouping_g.cu:13-35), including index order and the
+    fill-with-first-hit rule.
+    """
+    xyz1 = xyz1.astype(jnp.float32)
+    xyz2 = xyz2.astype(jnp.float32)
+    B, N, _ = xyz1.shape
+    M = xyz2.shape[1]
+    C = _BQ_CHUNK
+    n_chunks = -(-N // C)
+    Np = n_chunks * C
+
+    # All integer-valued intermediates are carried as f32 so the heavy
+    # reductions run as MXU matmuls (counts <= N < 2^24 are exact in f32);
+    # the earlier int/bool formulation hit pathological S8 layouts on TPU.
+    # d2 uses the matmul expansion (MXU): ~1-ulp different from the exact
+    # difference-square form, which can only flip membership of points
+    # floating-point-close to the radius boundary — immaterial to the model.
+    d2 = pairwise_sqdist_mm(xyz2, xyz1)  # (B, M, N)
+    hit = (d2 < jnp.float32(radius) ** 2).astype(jnp.float32)
+    if Np != N:
+        hit = jnp.pad(hit, ((0, 0), (0, 0), (0, Np - N)))
+    hit_c = hit.reshape(B, M, n_chunks, C)
+
+    # per-chunk hit counts as a matmul against the block-segment matrix
+    seg = jnp.repeat(jnp.eye(n_chunks, dtype=jnp.float32), C, axis=0)  # (Np, nc)
+    cnt_chunk = jnp.einsum("bmn,nc->bmc", hit, seg)  # (B, M, nc), exact ints
+    cum = jnp.cumsum(cnt_chunk, axis=-1)  # inclusive
+    base = cum - cnt_chunk  # exclusive
+    total = cum[..., -1]  # (B, M)
+
+    # chunk containing the (s+1)-th hit: #chunks whose cumulative count <= s
+    s_iota = jnp.arange(nsample, dtype=jnp.float32)
+    c_s = jnp.sum(cum[..., None, :] <= s_iota[:, None], axis=-1)  # (B, M, ns)
+    c_s = jnp.minimum(c_s, n_chunks - 1).astype(jnp.int32)
+
+    # one-hot over chunks drives batched-matmul "gathers" on the MXU
+    oh = jax.nn.one_hot(c_s, n_chunks, dtype=jnp.float32)  # (B, M, ns, nc)
+    sel_mask = jnp.einsum("bmsc,bmck->bmsk", oh, hit_c)  # (B, M, ns, C)
+    base_s = jnp.einsum("bmsc,bmc->bms", oh, base)  # base count of that chunk
+    t_s = s_iota + 1.0 - base_s  # wanted 1-based rank inside the chunk
+
+    # in-chunk rank via matmul with an upper-triangular ones matrix
+    tri = jnp.asarray(
+        jnp.tril(jnp.ones((C, C), jnp.float32)).T
+    )  # tri[k, j] = 1 for j >= k
+    local_rank = jnp.einsum("bmsk,kj->bmsj", sel_mask, tri)  # inclusive cumsum
+    is_target = jnp.where(
+        (local_rank == t_s[..., None]) & (sel_mask > 0), 1.0, 0.0
+    )
+    lane_iota = jnp.arange(C, dtype=jnp.float32)
+    lane = jnp.einsum("bmsk,k->bms", is_target, lane_iota)  # one-hot dot
+    idx_s = (c_s * C + lane.astype(jnp.int32)).astype(jnp.int32)
+
+    # fill-with-first-hit semantics for slots past the last hit
+    cnt = jnp.minimum(total, nsample).astype(jnp.int32)  # (B, M)
+    first_hit = idx_s[..., :1]
+    idx = jnp.where(s_iota.astype(jnp.int32) < cnt[..., None], idx_s, first_hit)
+    idx = jnp.where(cnt[..., None] > 0, idx, 0)  # empty ball -> 0
+    return lax.stop_gradient(idx), lax.stop_gradient(cnt)
 
 
 def group_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
