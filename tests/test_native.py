@@ -1,0 +1,69 @@
+"""Tests for the native C++ host library (and its Python fallbacks)."""
+
+import numpy as np
+import pytest
+
+from votenet_tpu import native
+from tests import oracles
+
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable (no g++)"
+)
+
+
+class TestParseFloats:
+    def test_basic(self):
+        got = native.parse_floats("1.5 -2  3e4\n7.25\t8")
+        np.testing.assert_allclose(got, [1.5, -2, 3e4, 7.25, 8])
+
+    def test_matches_numpy_split(self, rng):
+        vals = rng.randn(1000)
+        text = " ".join(f"{v:.9g}" for v in vals)
+        got = native.parse_floats(text)
+        np.testing.assert_allclose(got, np.array(text.split(), dtype=np.float64))
+
+    def test_empty(self):
+        assert native.parse_floats("").size == 0
+
+
+class TestNativeIoU:
+    def test_matches_python(self, rng):
+        from votenet_tpu.eval.iou import iou_3d
+
+        dets = oracles.random_boxes(rng, (6,))
+        gts = oracles.random_boxes(rng, (4,))
+        got = native.iou3d_matrix(dets, gts)
+        for i in range(6):
+            for j in range(4):
+                np.testing.assert_allclose(
+                    got[i, j], iou_3d(dets[i], gts[j]), rtol=1e-5, atol=1e-6
+                )
+
+    def test_empty(self):
+        out = native.iou3d_matrix(np.zeros((0, 8, 3)), np.zeros((3, 8, 3)))
+        assert out.shape == (0, 3)
+
+
+class TestGreedyMatch:
+    def test_basic(self):
+        iou = np.array([[0.9, 0.1], [0.8, 0.05], [0.0, 0.6]], np.float32)
+        tp, fp = native.greedy_match(iou, 0.25)
+        np.testing.assert_array_equal(tp, [1, 0, 1])  # det1 re-matches used GT0
+        np.testing.assert_array_equal(fp, [0, 1, 0])
+
+    def test_below_threshold_all_fp(self):
+        iou = np.full((3, 2), 0.1, np.float32)
+        tp, fp = native.greedy_match(iou, 0.25)
+        assert tp.sum() == 0 and fp.sum() == 3
+
+
+class TestNativeNMS:
+    def test_matches_oracle(self, rng):
+        corners = oracles.random_boxes(rng, (2, 24))
+        scores = rng.rand(2, 24).astype(np.float32)
+        obj = rng.randn(2, 24, 2).astype(np.float32)
+        want = oracles.nms3d_oracle(corners, scores, obj, 0.25)
+        for b in range(2):
+            got = native.nms3d_host(corners[b], scores[b], obj[b], 0.25)
+            np.testing.assert_array_equal(got, want[b])

@@ -58,7 +58,14 @@ def load_depth_points(depth_filename: str) -> np.ndarray:
         ncol = len(first.split())
         if ncol == 0:
             return np.zeros((0, 6))
-        flat = np.array((first + f.read()).split(), dtype=np.float64)
+        text = first + f.read()
+    from votenet_tpu import native
+
+    flat = (
+        native.parse_floats(text)
+        if native.available()
+        else np.array(text.split(), dtype=np.float64)
+    )
     return flat.reshape(-1, ncol)
 
 

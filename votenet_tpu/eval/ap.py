@@ -36,11 +36,20 @@ def voc_ap(rec: np.ndarray, prec: np.ndarray, use_07_metric: bool = False) -> fl
 
 
 def _pairwise_iou(dets: np.ndarray, gts: np.ndarray) -> np.ndarray:
-    """(D,8,3) x (G,8,3) -> (D,G) IoU matrix via the vectorized device op."""
-    from votenet_tpu.ops import box3d_iou_matrix
+    """(D,8,3) x (G,8,3) -> (D,G) IoU matrix.
 
+    Prefers the native C++ clip kernel (votenet_tpu/native) — the eval
+    matching runs on the host and per-pair dispatch to the device would pay
+    tunnel latency; falls back to the vectorized device op.
+    """
     if len(dets) == 0 or len(gts) == 0:
         return np.zeros((len(dets), len(gts)), dtype=np.float32)
+    from votenet_tpu import native
+
+    if native.available():
+        return native.iou3d_matrix(dets, gts)
+    from votenet_tpu.ops import box3d_iou_matrix
+
     return np.asarray(
         box3d_iou_matrix(dets.astype(np.float32), gts.astype(np.float32))
     )

@@ -34,7 +34,7 @@ def nms3d(
     objectness: jnp.ndarray,
     iou_threshold,
 ) -> jnp.ndarray:
-    """Greedy oriented 3D NMS.
+    """Greedy oriented 3D NMS (exact, via parallel fixpoint iteration).
 
     Args:
       corners: (B, N, 8, 3) box corners (top face = corners 0-3).
@@ -45,35 +45,44 @@ def nms3d(
 
     Returns:
       keep: (B, N) bool mask of surviving boxes.
+
+    The greedy recurrence "keep i iff no higher-priority kept box overlaps
+    it" forms a DAG ordered by (score desc, index asc). Instead of an
+    N-step sequential loop (N kernel dispatches), we Jacobi-iterate the
+    recurrence — each round one batched matmul over the suppression matrix —
+    until a fixpoint, reached after at most longest-suppression-chain
+    rounds (a handful in practice). The fixpoint is exactly the greedy
+    solution, so semantics match the sequential reference
+    (tf_nms3d.cpp:240-264) including tie order.
     """
     B, N = scores.shape
     cand = objectness[..., 1] > objectness[..., 0]  # (B, N), strict
 
     iou = box3d_iou_matrix(corners, corners)  # (B, N, N)
 
-    neg_inf = jnp.finfo(scores.dtype).min
-    key = jnp.where(cand, scores, neg_inf)
-    order = jnp.argsort(-key, axis=-1, stable=True)  # (B, N) descending score
-
-    # permute everything into sorted order
-    cand_s = jnp.take_along_axis(cand, order, axis=-1)  # (B, N)
-    iou_s = jnp.take_along_axis(iou, order[..., None], axis=1)
-    iou_s = jnp.take_along_axis(iou_s, order[:, None, :], axis=2)  # (B, N, N)
-
+    # priority: score desc, ties by lower index (stable-argsort order)
     iota = lax.broadcasted_iota(jnp.int32, (B, N), 1)
+    s_j = scores[:, :, None]
+    s_i = scores[:, None, :]
+    higher = (s_j > s_i) | ((s_j == s_i) & (iota[:, :, None] < iota[:, None, :]))
+    supp = jnp.where(
+        higher & (iou > iou_threshold), 1.0, 0.0
+    ) * cand[:, :, None].astype(jnp.float32)  # (B, N[j], N[i])
 
-    def body(i, suppressed):
-        alive_i = cand_s[:, i] & ~suppressed[:, i]  # (B,)
-        row = iou_s[:, i, :]  # (B, N)
-        newly = alive_i[:, None] & (row > iou_threshold) & (iota > i)
-        return suppressed | newly
+    cand_f = cand.astype(jnp.float32)
 
-    suppressed = lax.fori_loop(0, N, body, jnp.zeros((B, N), dtype=bool))
-    keep_sorted = cand_s & ~suppressed
+    def cond(state):
+        kept, changed = state
+        return changed
 
-    # scatter back to original box order
-    inv_order = jnp.argsort(order, axis=-1)
-    return jnp.take_along_axis(keep_sorted, inv_order, axis=-1)
+    def body(state):
+        kept, _ = state
+        blocked = jnp.einsum("bj,bji->bi", kept, supp)  # suppression pressure
+        new_kept = cand_f * jnp.where(blocked > 0, 0.0, 1.0)
+        return new_kept, jnp.any(new_kept != kept)
+
+    kept, _ = lax.while_loop(cond, body, (cand_f, jnp.bool_(True)))
+    return kept > 0
 
 
 def nms3d_indices(corners, scores, objectness, iou_threshold) -> np.ndarray:

@@ -24,9 +24,13 @@ import jax.numpy as jnp
 from jax import lax
 
 
-@functools.partial(jax.jit, static_argnums=0)
 def farthest_point_sample(npoint: int, xyz: jnp.ndarray) -> jnp.ndarray:
-    """Iterative farthest point sampling.
+    """Iterative farthest point sampling (backend-dispatched).
+
+    On TPU backends this routes to the Pallas kernel
+    (:mod:`votenet_tpu.ops.pallas.fps`) which runs the whole selection loop
+    in VMEM; elsewhere it uses the XLA fori_loop twin below. Identical
+    semantics either way.
 
     Args:
       npoint: number of points to select (static).
@@ -37,6 +41,18 @@ def farthest_point_sample(npoint: int, xyz: jnp.ndarray) -> jnp.ndarray:
       (B, npoint) int32 indices into N. First index is always 0 (the
       reference seeds FPS at index 0, tf_sampling_g.cu:114-116).
     """
+    from votenet_tpu.ops.pallas import tpu_available
+
+    if tpu_available():
+        from votenet_tpu.ops.pallas.fps import farthest_point_sample_pallas
+
+        return farthest_point_sample_pallas(npoint, xyz)
+    return farthest_point_sample_xla(npoint, xyz)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def farthest_point_sample_xla(npoint: int, xyz: jnp.ndarray) -> jnp.ndarray:
+    """XLA fori_loop FPS (reference semantics tf_sampling_g.cu:105-170)."""
     xyz = xyz.astype(jnp.float32)
     B, N, _ = xyz.shape
 
