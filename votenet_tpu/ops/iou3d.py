@@ -84,12 +84,87 @@ def _edge_intersections(P: jnp.ndarray, Q: jnp.ndarray):
     return pt.reshape(shp), valid.reshape(shp[:-1])
 
 
-def convex_quad_intersection_area(P: jnp.ndarray, Q: jnp.ndarray) -> jnp.ndarray:
-    """Exact intersection area of two convex quads, (..., 4, 2) each -> (...,).
+_SH_CAP = 12  # vertex capacity through the 4 clip stages (final is <= 8)
 
-    Collects masked candidate vertices, orders them by angle around the valid
-    centroid, and integrates a masked cyclic shoelace where invalid trailing
-    slots are collapsed onto the first valid vertex (zero contribution).
+
+def convex_quad_intersection_area(P: jnp.ndarray, Q: jnp.ndarray) -> jnp.ndarray:
+    """Exact intersection area of two convex quads, (..., 4, 2) -> (...,).
+
+    Vectorized Sutherland–Hodgman: clip P by Q's four half-planes with a
+    fixed-capacity vertex buffer and one-hot compaction — no sort anywhere
+    (the angular-sort variant below lowers to an XLA sort over 24-vertex
+    rows, which measured ~170 ms for an (8,256,256) NMS matrix on v5e; this
+    formulation is pure fused element-wise math).
+    """
+    P, Q = jnp.broadcast_arrays(P, Q)
+    P = P.astype(jnp.float32)
+    Q = Q.astype(jnp.float32)
+
+    # normalize clip polygon to CCW so "inside" is a fixed sign
+    ccw = quad_signed_area(Q) >= 0
+    Q = jnp.where(ccw[..., None, None], Q, Q[..., ::-1, :])
+
+    V = _SH_CAP
+    batch = P.shape[:-2]
+    pts = jnp.concatenate(
+        [P, jnp.zeros(batch + (V - 4, 2), P.dtype)], axis=-2
+    )  # (..., V, 2)
+    cnt = jnp.full(batch, 4, jnp.int32)
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, batch + (V,), len(batch))
+    out_slot_eq = slot[..., None, :]  # (..., V_in -> broadcast, V_out)
+
+    for e in range(4):
+        a = Q[..., e, :]  # (..., 2)
+        b = Q[..., (e + 1) % 4, :]
+        ex = (b - a)[..., 0:1]  # (..., 1) broadcast over slots
+        ez = (b - a)[..., 1:2]
+        p = pts  # (..., V, 2)
+        nxt = jnp.where(slot + 1 >= cnt[..., None], 0, slot + 1)
+        q = jnp.take_along_axis(pts, nxt[..., None], axis=-2)
+        valid = slot < cnt[..., None]
+        side_p = ex * (p[..., 1] - a[..., 1:2]) - ez * (p[..., 0] - a[..., 0:1]) >= 0
+        side_q = ex * (q[..., 1] - a[..., 1:2]) - ez * (q[..., 0] - a[..., 0:1]) >= 0
+        emit_v = valid & side_p
+        emit_x = valid & (side_p != side_q)
+        # p + t (q - p) with the clip line
+        d = q - p
+        denom = ex * d[..., 1] - ez * d[..., 0]
+        safe = jnp.where(jnp.abs(denom) < _EPS, 1.0, denom)
+        t = (ex * (a[..., 1:2] - p[..., 1]) - ez * (a[..., 0:1] - p[..., 0])) / safe
+        x = p + t[..., None] * d  # (..., V, 2)
+
+        counts = emit_v.astype(jnp.int32) + emit_x.astype(jnp.int32)
+        offs = jnp.cumsum(counts, axis=-1) - counts  # exclusive
+        pos_v = offs
+        pos_x = offs + emit_v.astype(jnp.int32)
+        new_cnt = offs[..., -1] + counts[..., -1]
+
+        oh_v = (emit_v[..., None] & (pos_v[..., None] == out_slot_eq)).astype(
+            jnp.float32
+        )  # (..., V_in, V_out)
+        oh_x = (emit_x[..., None] & (pos_x[..., None] == out_slot_eq)).astype(
+            jnp.float32
+        )
+        pts = jnp.einsum("...ik,...id->...kd", oh_v, p) + jnp.einsum(
+            "...ik,...id->...kd", oh_x, x
+        )
+        cnt = new_cnt
+
+    # masked cyclic shoelace over the valid prefix
+    nxt = jnp.where(slot + 1 >= cnt[..., None], 0, slot + 1)
+    q = jnp.take_along_axis(pts, nxt[..., None], axis=-2)
+    valid = (slot < cnt[..., None]).astype(jnp.float32)
+    cross = pts[..., 0] * q[..., 1] - q[..., 0] * pts[..., 1]
+    area = 0.5 * jnp.abs(jnp.sum(cross * valid, axis=-1))
+    return jnp.where(cnt >= 3, area, 0.0)
+
+
+def convex_quad_intersection_area_sort(P: jnp.ndarray, Q: jnp.ndarray) -> jnp.ndarray:
+    """Angular-sort formulation (candidate vertices + atan2 sort + shoelace),
+    mirroring the reference's C++ approach (tf_nms3d.cpp:122-175). Kept as a
+    second independent implementation for cross-validation; slower on TPU
+    than the Sutherland–Hodgman version above.
     """
     P, Q = jnp.broadcast_arrays(P, Q)
     p_in_q = _points_in_quad(P, Q)  # (..., 4)
