@@ -28,12 +28,13 @@ class TestPallasFPS:
 
 
 class TestIoUImplementations:
-    def test_sutherland_hodgman_vs_angular_sort(self, rng):
-        """The two independent device formulations must agree."""
+    def test_three_formulations_agree(self, rng):
+        """rank-based vs angular-sort vs Sutherland–Hodgman must agree."""
         import jax.numpy as jnp
 
         from votenet_tpu.ops.iou3d import (
             convex_quad_intersection_area,
+            convex_quad_intersection_area_sh,
             convex_quad_intersection_area_sort,
         )
 
@@ -43,7 +44,9 @@ class TestIoUImplementations:
         q2 = jnp.stack([boxes2[:, :4, 0], boxes2[:, :4, 2]], axis=-1)
         a = np.asarray(convex_quad_intersection_area(q1, q2))
         b = np.asarray(convex_quad_intersection_area_sort(q1, q2))
+        c = np.asarray(convex_quad_intersection_area_sh(q1, q2))
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
 
     def test_contained_quad(self):
         import jax.numpy as jnp

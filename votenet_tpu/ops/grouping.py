@@ -88,21 +88,26 @@ def query_ball_point(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2: jnp.n
     n_chunks = -(-N // C)
     Np = n_chunks * C
 
-    # All integer-valued intermediates are carried as f32 so the heavy
-    # reductions run as MXU matmuls (counts <= N < 2^24 are exact in f32);
-    # the earlier int/bool formulation hit pathological S8 layouts on TPU.
+    # All integer-valued intermediates are carried in bf16 so the heavy
+    # reductions run as MXU matmuls at full rate (every value here — hit
+    # flags, per-chunk counts <= 128, chunk ids <= 160, ranks <= 128 — is an
+    # integer <= 256, exactly representable in bf16); the earlier int/bool
+    # formulation hit pathological S8 layouts on TPU.
     # d2 uses the matmul expansion (MXU): ~1-ulp different from the exact
     # difference-square form, which can only flip membership of points
     # floating-point-close to the radius boundary — immaterial to the model.
+    bf16 = jnp.bfloat16
     d2 = pairwise_sqdist_mm(xyz2, xyz1)  # (B, M, N)
-    hit = (d2 < jnp.float32(radius) ** 2).astype(jnp.float32)
+    hit = (d2 < jnp.float32(radius) ** 2).astype(bf16)
     if Np != N:
         hit = jnp.pad(hit, ((0, 0), (0, 0), (0, Np - N)))
     hit_c = hit.reshape(B, M, n_chunks, C)
 
     # per-chunk hit counts as a matmul against the block-segment matrix
-    seg = jnp.repeat(jnp.eye(n_chunks, dtype=jnp.float32), C, axis=0)  # (Np, nc)
-    cnt_chunk = jnp.einsum("bmn,nc->bmc", hit, seg)  # (B, M, nc), exact ints
+    seg = jnp.repeat(jnp.eye(n_chunks, dtype=bf16), C, axis=0)  # (Np, nc)
+    cnt_chunk = jnp.einsum(
+        "bmn,nc->bmc", hit, seg, preferred_element_type=jnp.float32
+    )  # (B, M, nc), exact ints
     cum = jnp.cumsum(cnt_chunk, axis=-1)  # inclusive
     base = cum - cnt_chunk  # exclusive
     total = cum[..., -1]  # (B, M)
@@ -113,16 +118,21 @@ def query_ball_point(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2: jnp.n
     c_s = jnp.minimum(c_s, n_chunks - 1).astype(jnp.int32)
 
     # one-hot over chunks drives batched-matmul "gathers" on the MXU
-    oh = jax.nn.one_hot(c_s, n_chunks, dtype=jnp.float32)  # (B, M, ns, nc)
-    sel_mask = jnp.einsum("bmsc,bmck->bmsk", oh, hit_c)  # (B, M, ns, C)
-    base_s = jnp.einsum("bmsc,bmc->bms", oh, base)  # base count of that chunk
+    oh = jax.nn.one_hot(c_s, n_chunks, dtype=bf16)  # (B, M, ns, nc)
+    sel_mask = jnp.einsum(
+        "bmsc,bmck->bmsk", oh, hit_c, preferred_element_type=jnp.float32
+    )  # (B, M, ns, C)
+    base_s = jnp.einsum(
+        "bmsc,bmc->bms", oh, base.astype(bf16), preferred_element_type=jnp.float32
+    )  # base count of that chunk (counts <= 256: exact in bf16)
     t_s = s_iota + 1.0 - base_s  # wanted 1-based rank inside the chunk
 
     # in-chunk rank via matmul with an upper-triangular ones matrix
-    tri = jnp.asarray(
-        jnp.tril(jnp.ones((C, C), jnp.float32)).T
-    )  # tri[k, j] = 1 for j >= k
-    local_rank = jnp.einsum("bmsk,kj->bmsj", sel_mask, tri)  # inclusive cumsum
+    tri = jnp.tril(jnp.ones((C, C), bf16)).T  # tri[k, j] = 1 for j >= k
+    local_rank = jnp.einsum(
+        "bmsk,kj->bmsj", sel_mask.astype(bf16), tri,
+        preferred_element_type=jnp.float32,
+    )  # inclusive cumsum
     is_target = jnp.where(
         (local_rank == t_s[..., None]) & (sel_mask > 0), 1.0, 0.0
     )

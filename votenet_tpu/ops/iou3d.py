@@ -84,17 +84,73 @@ def _edge_intersections(P: jnp.ndarray, Q: jnp.ndarray):
     return pt.reshape(shp), valid.reshape(shp[:-1])
 
 
-_SH_CAP = 12  # vertex capacity through the 4 clip stages (final is <= 8)
-
-
 def convex_quad_intersection_area(P: jnp.ndarray, Q: jnp.ndarray) -> jnp.ndarray:
     """Exact intersection area of two convex quads, (..., 4, 2) -> (...,).
 
-    Vectorized Sutherland–Hodgman: clip P by Q's four half-planes with a
-    fixed-capacity vertex buffer and one-hot compaction — no sort anywhere
-    (the angular-sort variant below lowers to an XLA sort over 24-vertex
-    rows, which measured ~170 ms for an (8,256,256) NMS matrix on v5e; this
-    formulation is pure fused element-wise math).
+    Candidate-vertex method with *rank-based* angular ordering: the (at most
+    24) candidate vertices — P corners inside Q, Q corners inside P, and the
+    16 edge-pair intersections — are ordered around their centroid not by a
+    sort (XLA sort over 24-vertex rows measured ~170 ms for an (8,256,256)
+    NMS matrix on v5e) but by computing each candidate's angular *rank* via
+    a 24x24 pairwise comparison, and then evaluating the cyclic shoelace as
+    a pairwise rank-adjacency sum:
+
+        area = 1/2 | sum_{i,j} [rank_j == (rank_i + 1) mod cnt] cross(v_i, v_j) |
+
+    Everything is fused element-wise math + reductions — no sort, gather, or
+    sequential stage. Duplicate candidates (corner exactly on an edge) are
+    angular ties broken by index; adjacent duplicates contribute zero cross
+    terms, so the area is unaffected.
+    """
+    P, Q = jnp.broadcast_arrays(P, Q)
+    p_in_q = _points_in_quad(P, Q)  # (..., 4)
+    q_in_p = _points_in_quad(Q, P)  # (..., 4)
+    inter_pts, inter_valid = _edge_intersections(P, Q)  # (..., 16, 2)
+
+    pts = jnp.concatenate([P, Q, inter_pts], axis=-2)  # (..., 24, 2)
+    valid = jnp.concatenate([p_in_q, q_in_p, inter_valid], axis=-1)  # (..., 24)
+
+    cnt = jnp.sum(valid, axis=-1)  # (...,)
+    vf = valid[..., None].astype(pts.dtype)
+    centroid = jnp.sum(pts * vf, axis=-2) / jnp.maximum(cnt, 1)[..., None]
+
+    ang = jnp.arctan2(
+        pts[..., 1] - centroid[..., None, 1], pts[..., 0] - centroid[..., None, 0]
+    )
+    ang = jnp.where(valid, ang, jnp.inf)  # invalids rank last
+
+    idx = lax.broadcasted_iota(jnp.int32, ang.shape, ang.ndim - 1)
+    a_j = ang[..., :, None]  # j varies over rows
+    a_i = ang[..., None, :]
+    before = (a_j < a_i) | ((a_j == a_i) & (idx[..., :, None] < idx[..., None, :]))
+    # rank among valid candidates (invalids get rank >= cnt and are masked)
+    rank = jnp.sum(
+        before & valid[..., :, None] & valid[..., None, :], axis=-2
+    )  # (..., V) — counts valid j strictly before i
+
+    nxt_rank = jnp.where(rank + 1 >= cnt[..., None], 0, rank + 1)
+    adj = (
+        valid[..., :, None]
+        & valid[..., None, :]
+        & (rank[..., None, :] == nxt_rank[..., :, None])
+    )  # (..., V_i, V_j): j directly follows i in the cycle
+    cross = (
+        pts[..., :, None, 0] * pts[..., None, :, 1]
+        - pts[..., None, :, 0] * pts[..., :, None, 1]
+    )  # (..., V_i, V_j)
+    total = jnp.sum(jnp.where(adj, cross, 0.0), axis=(-1, -2))
+    area = 0.5 * jnp.abs(total)
+    return jnp.where(cnt >= 3, area, 0.0)
+
+
+_SH_CAP = 12  # vertex capacity through the 4 clip stages (final is <= 8)
+
+
+def convex_quad_intersection_area_sh(P: jnp.ndarray, Q: jnp.ndarray) -> jnp.ndarray:
+    """Sutherland–Hodgman formulation: clip P by Q's four half-planes with a
+    fixed-capacity vertex buffer and one-hot compaction. A third independent
+    implementation kept for cross-validation (its per-stage gathers and
+    scatters lower poorly on TPU — slower than the rank method above).
     """
     P, Q = jnp.broadcast_arrays(P, Q)
     P = P.astype(jnp.float32)
