@@ -173,6 +173,87 @@ def bench_train():
     print(f"train_step B=8: {t*1e3:.1f} ms -> {8/t:.2f} scenes/s", flush=True)
 
 
+def bench_stages():
+    """Fine-grained stage timing of the sa1 pipeline + batch scaling."""
+    import jax
+    import jax.numpy as jnp
+
+    from votenet_tpu import ops
+    from votenet_tpu.ops.pallas.fps import farthest_point_sample_pallas
+
+    rng = np.random.RandomState(0)
+    B = 8
+    xyz = jnp.asarray(rng.uniform(-4, 4, (B, 20480, 3)), jnp.float32)
+
+    fps = jax.jit(lambda x: farthest_point_sample_pallas(2048, x))
+    idxf = fps(xyz)
+    t = timeit(lambda: fps(xyz), iters=10)
+    print(f"stage fps: {t*1e3:.2f} ms", flush=True)
+
+    gather = jax.jit(ops.gather_point)
+    new_xyz = gather(xyz, idxf)
+    t = timeit(lambda: gather(xyz, idxf), iters=10)
+    print(f"stage gather_point: {t*1e3:.2f} ms", flush=True)
+
+    bq = jax.jit(lambda a, b: ops.query_ball_point(0.2, 64, a, b))
+    idx, _ = bq(xyz, new_xyz)
+    t = timeit(lambda: bq(xyz, new_xyz), iters=10)
+    print(f"stage ball_query: {t*1e3:.2f} ms", flush=True)
+
+    grp = jax.jit(ops.group_point)
+    t = timeit(lambda: grp(xyz, idx), iters=10)
+    print(f"stage group_point(xyz): {t*1e3:.2f} ms", flush=True)
+
+    feats = jnp.asarray(rng.randn(B, 20480, 128), jnp.float32)
+    t = timeit(lambda: grp(feats, idx), iters=10)
+    print(f"stage group_point(128ch): {t*1e3:.2f} ms", flush=True)
+
+    W1 = jnp.asarray(rng.randn(6, 64) * 0.1, jnp.float32)
+    W2 = jnp.asarray(rng.randn(64, 64) * 0.1, jnp.float32)
+    W3 = jnp.asarray(rng.randn(64, 128) * 0.1, jnp.float32)
+
+    @jax.jit
+    def mlp_pool(xyz, idx, new_xyz):
+        gx = ops.group_point(xyz, idx) - new_xyz[:, :, None, :]
+        gp = ops.group_point(xyz, idx)
+        h = jnp.concatenate([gx, gp], -1)
+        h = jax.nn.relu(h @ W1)
+        h = jax.nn.relu(h @ W2)
+        h = jax.nn.relu(h @ W3)
+        return jnp.max(h, axis=2)
+
+    t = timeit(lambda: mlp_pool(xyz, idx, new_xyz), iters=10)
+    print(f"stage group+mlp+pool: {t*1e3:.2f} ms", flush=True)
+
+
+def bench_batch_scaling():
+    import jax
+    import jax.numpy as jnp
+
+    from votenet_tpu.config import default_config
+    from votenet_tpu.models.decode import predict_boxes
+    from votenet_tpu.models.votenet import VoteNet
+
+    cfg = default_config()
+    model = VoteNet(cfg)
+    pts0 = jnp.zeros((1, cfg.point_num, 3), jnp.float32)
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(
+        jax.random.PRNGKey(0), pts0
+    )
+    rng = np.random.RandomState(0)
+    for B in (16, 32):
+        pts = jnp.asarray(rng.uniform(-4, 4, (B, cfg.point_num, 3)), jnp.float32)
+
+        @jax.jit
+        def fwd(p):
+            end = model.apply(variables, p, train=False)
+            pr = predict_boxes(end, cfg)
+            return pr["bboxes"], pr["class_scores"], pr["keep"]
+
+        t = timeit(lambda: fwd(pts), iters=5, warmup=2)
+        print(f"e2e inference B={B}: {t*1e3:.1f} ms -> {B/t:.2f} scenes/s", flush=True)
+
+
 ALL = {
     "fps": bench_fps,
     "ballq": bench_ballq,
@@ -180,6 +261,8 @@ ALL = {
     "model": bench_model,
     "nms": bench_nms,
     "train": bench_train,
+    "stages": bench_stages,
+    "scaling": bench_batch_scaling,
 }
 
 if __name__ == "__main__":
