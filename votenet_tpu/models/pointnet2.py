@@ -85,14 +85,18 @@ def sample_and_group(
         _, idx = ops.knn_point(nsample, xyz, new_xyz)
     else:
         idx, _ = ops.query_ball_point(radius, nsample, xyz, new_xyz)
-    grouped_xyz = ops.group_point(xyz, idx) - new_xyz[:, :, None, :]
     if points is not None:
-        grouped_points = ops.group_point(points, idx)
+        # single fused gather of [xyz ‖ features] (gathers are the dominant
+        # cost of the SA layer on TPU; one wide gather beats two)
+        both = ops.group_point(jnp.concatenate([xyz, points], axis=-1), idx)
+        grouped_xyz = both[..., :3] - new_xyz[:, :, None, :]
+        grouped_points = both[..., 3:]
         if use_xyz:
             new_points = jnp.concatenate([grouped_xyz, grouped_points], axis=-1)
         else:
             new_points = grouped_points
     else:
+        grouped_xyz = ops.group_point(xyz, idx) - new_xyz[:, :, None, :]
         new_points = grouped_xyz
     return new_xyz, new_points, idx, grouped_xyz
 

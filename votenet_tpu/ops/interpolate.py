@@ -48,7 +48,9 @@ def three_interpolate(points: jnp.ndarray, idx: jnp.ndarray, weight: jnp.ndarray
     (reference tf_interpolate.cpp:107-127).
     """
     B, N, _ = idx.shape
-    C = points.shape[-1]
-    flat = idx.reshape(B, N * 3, 1).astype(jnp.int32)
-    gathered = jnp.take_along_axis(points, flat, axis=1).reshape(B, N, 3, C)
+    Msrc, C = points.shape[1], points.shape[-1]
+    table = points.reshape(B * Msrc, C)
+    off = (jnp.arange(B, dtype=jnp.int32) * Msrc)[:, None, None]
+    flat = (idx.astype(jnp.int32) + off).reshape(-1)
+    gathered = jnp.take(table, flat, axis=0).reshape(B, N, 3, C)
     return jnp.sum(gathered * weight[..., None], axis=2)

@@ -81,10 +81,17 @@ def farthest_point_sample_xla(npoint: int, xyz: jnp.ndarray) -> jnp.ndarray:
 def gather_point(inp: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather points by index: (B, N, C), (B, M) -> (B, M, C).
 
-    Differentiable w.r.t. ``inp`` (VJP is a deterministic scatter-add,
-    replacing the reference's atomicAdd kernel tf_sampling_g.cu:183-192).
+    Flat row-gather from a (B*N, C) table (the fastest gather lowering on
+    TPU; see group_point). Differentiable w.r.t. ``inp`` (VJP is a
+    deterministic scatter-add, replacing the reference's atomicAdd kernel
+    tf_sampling_g.cu:183-192).
     """
-    return jnp.take_along_axis(inp, idx[..., None].astype(jnp.int32), axis=1)
+    B, N, C = inp.shape
+    M = idx.shape[1]
+    table = inp.reshape(B * N, C)
+    off = (jnp.arange(B, dtype=jnp.int32) * N)[:, None]
+    flat = (idx.astype(jnp.int32) + off).reshape(-1)
+    return jnp.take(table, flat, axis=0).reshape(B, M, C)
 
 
 def prob_sample(inp_p: jnp.ndarray, inp_r: jnp.ndarray) -> jnp.ndarray:
