@@ -226,6 +226,38 @@ def bench_stages():
     print(f"stage group+mlp+pool: {t*1e3:.2f} ms", flush=True)
 
 
+def bench_stages_bwd():
+    """Backward-pass cost of the gather-heavy pieces."""
+    import jax
+    import jax.numpy as jnp
+
+    from votenet_tpu import ops
+
+    rng = np.random.RandomState(0)
+    B, N, M, S, C = 8, 20480, 2048, 64, 128
+    pts = jnp.asarray(rng.randn(B, N, C), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, N, (B, M, S)), jnp.int32)
+
+    fwd = jax.jit(lambda p: ops.group_point(p, idx).sum())
+    t = timeit(lambda: fwd(pts), iters=5)
+    print(f"group_point fwd+sum: {t*1e3:.2f} ms", flush=True)
+
+    bwd = jax.jit(jax.grad(lambda p: ops.group_point(p, idx).sum()))
+    t = timeit(lambda: bwd(pts), iters=5)
+    print(f"group_point scatter-add bwd: {t*1e3:.2f} ms", flush=True)
+
+    W1 = jnp.asarray(rng.randn(C, 64) * 0.1, jnp.float32)
+
+    def mlp_loss(p):
+        g = ops.group_point(p, idx)
+        h = jax.nn.relu(g @ W1)
+        return jnp.max(h, axis=2).sum()
+
+    gfun = jax.jit(jax.grad(mlp_loss))
+    t = timeit(lambda: gfun(pts), iters=5)
+    print(f"group+mlp+pool grad: {t*1e3:.2f} ms", flush=True)
+
+
 def bench_batch_scaling():
     import jax
     import jax.numpy as jnp
@@ -263,6 +295,7 @@ ALL = {
     "train": bench_train,
     "stages": bench_stages,
     "scaling": bench_batch_scaling,
+    "stages_bwd": bench_stages_bwd,
 }
 
 if __name__ == "__main__":
