@@ -60,10 +60,12 @@ def main():
         gt_all = synthetic_gt_all(val_scenes)
 
         def batch_factory():
+            from votenet_tpu.data.prefetch import prefetch
+
             order = np.random.permutation(len(train_scenes))
-            return batch_scenes(
+            return prefetch(batch_scenes(
                 (train_scenes[i] for i in order), cfg.batch_size, cfg.max_gt_boxes
-            )
+            ))
 
         val_iter = lambda: [(int(s["data_idx"]), s["points"]) for s in val_scenes]
     else:
@@ -78,7 +80,14 @@ def main():
         )
 
         def batch_factory():
-            return batch_scenes(iter(train_flow), cfg.batch_size, cfg.max_gt_boxes)
+            from votenet_tpu.data.prefetch import prefetch
+
+            # background-thread prefetch overlaps host scene processing with
+            # device steps (the reference's PrefetchDataZMQ+QueueInput role)
+            return prefetch(
+                batch_scenes(iter(train_flow), cfg.batch_size, cfg.max_gt_boxes),
+                buffer_size=8,
+            )
 
         from votenet_tpu.eval.evaluator import gt_dict_from_labels
 

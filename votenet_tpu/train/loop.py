@@ -122,11 +122,20 @@ class Trainer:
             return shard_batch(batch, self.mesh)
         return batch
 
-    def train_epoch(self, batches: Iterable[Dict]) -> Dict[str, float]:
+    def train_epoch(self, batches: Iterable[Dict], metrics_every: int = 10) -> Dict[str, float]:
+        """One epoch. Metrics are fetched to the host only every
+        ``metrics_every`` steps — each fetch synchronizes the device (and
+        pays the full tunnel RTT under axon), while steps in between stay
+        async-dispatched back-to-back."""
         step_in_epoch = 0
+        metrics = None
         for batch in batches:
             self.state, metrics = self._train_step(self.state, self._put_batch(batch))
             step_in_epoch += 1
+            if step_in_epoch % metrics_every == 0:
+                host = {k: float(v) for k, v in metrics.items()}
+                self.logger.log_step(int(self.state.step), host)
+        if metrics is not None and step_in_epoch % metrics_every != 0:
             host = {k: float(v) for k, v in metrics.items()}
             self.logger.log_step(int(self.state.step), host)
         self.epoch += 1
