@@ -258,6 +258,33 @@ def bench_stages_bwd():
     print(f"group+mlp+pool grad: {t*1e3:.2f} ms", flush=True)
 
 
+def bench_scatter():
+    """Pallas scatter-add vs XLA scatter at sa1-backward size."""
+    import jax
+    import jax.numpy as jnp
+
+    from votenet_tpu.ops.pallas.scatter import scatter_add_rows_pallas
+
+    rng = np.random.RandomState(0)
+    B, R, C, N = 8, 2048 * 64, 131, 20480
+    g = jnp.asarray(rng.randn(B, R, C), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, N, (B, R)), jnp.int32)
+
+    xla = jax.jit(lambda g, i: jnp.zeros((B, N, C), jnp.float32).at[
+        jnp.arange(B)[:, None], i
+    ].add(g))
+    pal = jax.jit(lambda g, i: scatter_add_rows_pallas(g, i, N))
+
+    a = xla(g, idx)
+    b = pal(g, idx)
+    ok = np.allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+    print(f"scatter correctness (pallas vs xla): {ok}", flush=True)
+    txla = timeit(lambda: xla(g, idx), iters=5)
+    tpal = timeit(lambda: pal(g, idx), iters=5)
+    print(f"scatter-add 8x131072x131->20480: xla {txla*1e3:.1f} ms | "
+          f"pallas {tpal*1e3:.1f} ms ({txla/tpal:.1f}x)", flush=True)
+
+
 def bench_batch_scaling():
     import jax
     import jax.numpy as jnp
@@ -296,6 +323,7 @@ ALL = {
     "stages": bench_stages,
     "scaling": bench_batch_scaling,
     "stages_bwd": bench_stages_bwd,
+    "scatter": bench_scatter,
 }
 
 if __name__ == "__main__":

@@ -29,6 +29,10 @@ from votenet_tpu import ops
 BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
 
+# tensorpack Conv2D/FullyConnected default to variance_scaling(2.0) (He)
+# kernel init; flax's default is lecun_normal — match the reference.
+KERNEL_INIT = nn.initializers.he_normal()
+
 
 class MLPStack(nn.Module):
     """Shared per-point MLP: Dense + BN + ReLU per width.
@@ -46,7 +50,7 @@ class MLPStack(nn.Module):
     def __call__(self, x, train: bool):
         for i, w in enumerate(self.widths):
             last = i == len(self.widths) - 1
-            x = nn.Dense(w, dtype=self.dtype, name=f"dense{i}")(x)
+            x = nn.Dense(w, dtype=self.dtype, kernel_init=KERNEL_INIT, name=f"dense{i}")(x)
             if self.final_activation or not last:
                 if self.use_bn:
                     x = nn.BatchNorm(

@@ -32,6 +32,7 @@ from votenet_tpu.config import Config
 from votenet_tpu.models.pointnet2 import (
     BN_EPS,
     BN_MOMENTUM,
+    KERNEL_INIT,
     PointNetFPModule,
     PointNetSAModule,
 )
@@ -52,7 +53,7 @@ class VotingModule(nn.Module):
     def __call__(self, seeds: jnp.ndarray, train: bool) -> jnp.ndarray:
         x = seeds
         for i, w in enumerate(self.units):
-            x = nn.Dense(w, dtype=self.dtype, name=f"voting{i}")(x)
+            x = nn.Dense(w, dtype=self.dtype, kernel_init=KERNEL_INIT, name=f"voting{i}")(x)
             if i < len(self.units) - 1:
                 x = nn.BatchNorm(
                     use_running_average=not train,
