@@ -1,0 +1,168 @@
+"""Tests of the real-data path against a generated mini SUN RGB-D tree.
+
+Builds an on-disk dataset in the reference layout
+(<root>/training/{calib,depth,label_dimension}/%06d.txt, sunutils.py /
+dataset.py conventions) and runs the full loader + scene-processing +
+caching pipeline over it.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from votenet_tpu.config import Config
+from votenet_tpu.data.dataflow import SunRGBDDataFlow, process_scene
+from votenet_tpu.data.geometry import TYPE2CLASS, roty
+from votenet_tpu.data.sunrgbd import (
+    SUNRGBDCalibration,
+    SunRGBDObjectDataset,
+    load_depth_points,
+    read_sunrgbd_label,
+)
+
+
+def make_fake_sunrgbd(root, idxs, rng, n_points=3000):
+    """Write calib/depth/label files for the given scene indices."""
+    for sub in ("calib", "depth", "label_dimension", "image"):
+        os.makedirs(os.path.join(root, "training", sub), exist_ok=True)
+
+    for idx in idxs:
+        # calib: Rtilt = identity, K = simple pinhole (column-major flattened)
+        Rtilt = np.eye(3)
+        K = np.array([[520.0, 0, 320.0], [0, 520.0, 240.0], [0, 0, 1.0]])
+        with open(os.path.join(root, "training", "calib", "%06d.txt" % idx), "w") as f:
+            f.write(" ".join(str(v) for v in Rtilt.reshape(-1, order="F")) + "\n")
+            f.write(" ".join(str(v) for v in K.reshape(-1, order="F")) + "\n")
+
+        # objects: a couple of boxes in upright depth coords (z up, y forward)
+        objects = []
+        for j in range(2):
+            cx, cy, cz = rng.uniform(-1, 1), rng.uniform(2.5, 4.0), rng.uniform(0.2, 0.8)
+            w, l, h = 0.4, 0.5, 0.45  # half-sizes (reference convention)
+            heading = rng.uniform(-np.pi, np.pi)
+            objects.append((cx, cy, cz, w, l, h, heading))
+
+        # depth: cluster points inside each box + background so frustum tests pass
+        pts = [rng.uniform([-3, 0.5, -1], [3, 6, 2], (n_points - 800 * len(objects), 3))]
+        for (cx, cy, cz, w, l, h, heading) in objects:
+            local = rng.uniform(-0.9, 0.9, (800, 3)) * [l, w, h]
+            from votenet_tpu.data.geometry import rotz
+
+            R = rotz(-heading)
+            pts.append(local @ R.T + [cx, cy, cz])
+        cloud = np.concatenate(pts)
+        depth = np.concatenate([cloud, rng.rand(len(cloud), 3)], axis=1)  # + rgb
+        np.savetxt(os.path.join(root, "training", "depth", "%06d.txt" % idx), depth, fmt="%.4f")
+
+        # labels: 17 numbers after the classname (reference sunutils.py:10-34)
+        lines = []
+        classnames = ["chair", "table"]
+        for cname, (cx, cy, cz, w, l, h, heading) in zip(classnames, objects):
+            ori = [np.cos(-heading), -np.sin(-heading)]
+            vals = [
+                100, 100, 200, 150,  # 2D box x,y,w,h — generous (frustum test)
+                cx, cy, cz,
+                w, l, h,
+                1, 0, 0, 1,  # basis (unused)
+                ori[0], ori[1],
+            ]
+            lines.append(cname + " " + " ".join(f"{v:.6f}" for v in vals))
+        with open(
+            os.path.join(root, "training", "label_dimension", "%06d.txt" % idx), "w"
+        ) as f:
+            f.write("\n".join(lines) + "\n")
+
+
+@pytest.fixture(scope="module")
+def fake_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("sunrgbd"))
+    rng = np.random.RandomState(0)
+    make_fake_sunrgbd(root, [1, 2, 3], rng)
+    return root
+
+
+def small_cfg():
+    return Config(point_num=1024, max_gt_boxes=8)
+
+
+class TestReaders:
+    def test_label_parse(self, fake_root):
+        objs = read_sunrgbd_label(
+            os.path.join(fake_root, "training", "label_dimension", "000001.txt")
+        )
+        assert len(objs) == 2
+        assert objs[0].classname == "chair"
+        assert np.isfinite(objs[0].heading_angle)
+        # heading round-trips through the orientation encoding
+        assert objs[0].box2d.shape == (4,)
+
+    def test_depth_load(self, fake_root):
+        d = load_depth_points(
+            os.path.join(fake_root, "training", "depth", "000001.txt")
+        )
+        assert d.shape[1] == 6
+        assert d.shape[0] >= 1024
+
+    def test_calibration_projections(self, fake_root):
+        calib = SUNRGBDCalibration(
+            os.path.join(fake_root, "training", "calib", "000001.txt")
+        )
+        pts = np.array([[0.5, 3.0, 0.5], [-0.5, 4.0, 0.2]])
+        uv, depth = calib.project_upright_depth_to_image(pts)
+        assert uv.shape == (2, 2)
+        assert (depth > 0).all()
+        # upright depth -> upright camera is the axis flip; invertible
+        cam = calib.project_upright_depth_to_upright_camera(pts)
+        back = calib.project_upright_camera_to_upright_depth(cam)
+        np.testing.assert_allclose(back, pts, atol=1e-12)
+
+
+class TestProcessScene:
+    def test_schema_and_targets(self, fake_root):
+        cfg = small_cfg()
+        ds = SunRGBDObjectDataset(fake_root, "training", [1])
+        scene = process_scene(ds, 1, np.random.RandomState(0), training=False, config=cfg)
+        assert scene is not None
+        assert scene["points"].shape == (cfg.point_num, 3)
+        n = scene["bboxes_xyz"].shape[0]
+        assert 1 <= n <= 2
+        assert scene["semantic_labels"].dtype == np.int32
+        assert set(scene["semantic_labels"]).issubset(
+            {TYPE2CLASS["chair"], TYPE2CLASS["table"]}
+        )
+        assert (np.abs(scene["heading_residuals"]) <= 1.0 + 1e-6).all()
+        # size: full extents = 2 * half-sizes * (no aug) ~ [1.0, 0.8, 0.9]
+        assert (scene["bboxes_lwh"] > 0.5).all() and (scene["bboxes_lwh"] < 1.5).all()
+
+    def test_training_augmentation_changes_scene(self, fake_root):
+        cfg = small_cfg()
+        ds = SunRGBDObjectDataset(fake_root, "training", [1])
+        a = process_scene(ds, 1, np.random.RandomState(1), training=True, config=cfg)
+        b = process_scene(ds, 1, np.random.RandomState(2), training=True, config=cfg)
+        assert a is not None and b is not None
+        assert not np.allclose(a["points"], b["points"])
+
+
+class TestDataFlow:
+    def test_iteration_and_cache(self, fake_root, tmp_path):
+        cfg = small_cfg()
+        cache = str(tmp_path / "cache")
+        flow = SunRGBDDataFlow(
+            fake_root, "training", training=False, config=cfg,
+            idx_list=[1, 2, 3], cache_dir=cache, seed=0,
+        )
+        scenes1 = list(flow)
+        assert len(scenes1) == 3
+        assert len(os.listdir(cache)) == 3  # one cache file per scene
+        scenes2 = list(flow)  # second pass reads the cache
+        np.testing.assert_array_equal(scenes1[0]["points"], scenes2[0]["points"])
+
+    def test_train_flow_shuffles_and_augments(self, fake_root, tmp_path):
+        cfg = small_cfg()
+        flow = SunRGBDDataFlow(
+            fake_root, "training", training=True, config=cfg,
+            idx_list=[1, 2, 3], cache_dir=str(tmp_path / "c2"), seed=0,
+        )
+        scenes = list(flow)
+        assert len(scenes) == 3
