@@ -22,15 +22,16 @@ def main():
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--ious", type=float, nargs="+", default=[0.25, 0.5])
     parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--preset", default="full", choices=["full", "tiny"])
     args = parser.parse_args()
 
-    from votenet_tpu.config import default_config
+    from votenet_tpu.config import default_config, tiny_config
     from votenet_tpu.eval.evaluator import Evaluator, make_predict_fn
     from votenet_tpu.models.votenet import VoteNet
     from votenet_tpu.train.state import create_train_state
     from votenet_tpu.utils import checkpoint as ckpt
 
-    cfg = default_config()
+    cfg = tiny_config() if args.preset == "tiny" else default_config()
     state = create_train_state(jax.random.PRNGKey(0), cfg, steps_per_epoch=1)
     state, step = ckpt.restore_checkpoint(args.log_dir, state)
     print(f"checkpoint: {'epoch %s' % step if step else 'NONE (random init)'}")

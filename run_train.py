@@ -30,6 +30,8 @@ def main():
     parser.add_argument("--max_epoch", type=int, default=None)
     parser.add_argument("--pad_semantics", default="reference",
                         choices=["reference", "masked"])
+    parser.add_argument("--preset", default="full", choices=["full", "tiny"],
+                        help="tiny = scaled-down model for smoke tests")
     args = parser.parse_args()
 
     from votenet_tpu.config import default_config
@@ -41,7 +43,9 @@ def main():
     from votenet_tpu.train.loop import Trainer
     from votenet_tpu.train.state import create_train_state
 
-    cfg = default_config()
+    from votenet_tpu.config import tiny_config
+
+    cfg = tiny_config() if args.preset == "tiny" else default_config()
     if args.batch_size:
         cfg = cfg.replace(batch_size=args.batch_size)
     if args.max_epoch:

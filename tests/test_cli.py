@@ -1,0 +1,45 @@
+"""End-to-end CLI smoke tests (subprocess, tiny preset, synthetic data)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = ""
+    return subprocess.run(
+        [sys.executable] + args, cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+class TestTrainCLI:
+    def test_synthetic_tiny_run(self, tmp_path):
+        log_dir = str(tmp_path / "run")
+        r = _run([
+            "run_train.py", "--synthetic=8", "--preset=tiny",
+            "--max_epoch=2", "--batch_size=4", f"--log_dir={log_dir}",
+        ])
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert os.path.exists(os.path.join(log_dir, "stat.json"))
+        with open(os.path.join(log_dir, "stat.json")) as f:
+            hist = json.load(f)
+        assert len(hist) == 2
+        assert "total_cost" in hist[0]
+
+    def test_eval_cli_random_init(self, tmp_path):
+        r = _run([
+            "run_eval.py", "--synthetic=4", "--preset=tiny",
+            f"--log_dir={tmp_path}", "--ious", "0.25", "--batch_size=2",
+        ])
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "checkpoint: NONE" in r.stdout
+        assert "mAP0.25" in r.stdout

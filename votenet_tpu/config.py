@@ -98,6 +98,25 @@ def default_config(**overrides) -> Config:
     return Config(**overrides)
 
 
+def tiny_config(**overrides) -> Config:
+    """Scaled-down architecture for smoke tests / CI (same topology)."""
+    base = dict(
+        point_num=256,
+        sa_npoints=(64, 32, 16, 8),
+        sa_nsamples=(8, 8, 8, 8),
+        sa_mlps=((16, 16, 32), (32, 32, 64), (32, 32, 64), (32, 32, 64)),
+        fp_mlps=((64, 64), (64, 64)),
+        vote_units=(64, 64, 64 + 3),
+        proposal_nsample=8,
+        proposal_mlp=(32, 32, 32),
+        proposal_mlp2_hidden=(32, 32),
+        proposal_num=16,
+        max_gt_boxes=8,
+    )
+    base.update(overrides)
+    return Config(**base)
+
+
 def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
     """Build a Config from ``--key=value`` CLI overrides.
 
