@@ -21,20 +21,9 @@ from votenet_tpu.train.state import create_train_state
 
 
 def tiny_config():
-    return Config(
-        point_num=256,
-        sa_npoints=(64, 32, 16, 8),
-        sa_nsamples=(8, 8, 8, 8),
-        sa_mlps=((16, 16, 32), (32, 32, 64), (32, 32, 64), (32, 32, 64)),
-        fp_mlps=((64, 64), (64, 64)),
-        vote_units=(64, 64, 64 + 3),
-        proposal_nsample=8,
-        proposal_mlp=(32, 32, 32),
-        proposal_mlp2_hidden=(32, 32),
-        proposal_num=16,
-        max_gt_boxes=8,
-        batch_size=4,
-    )
+    from votenet_tpu.config import tiny_config as _tiny
+
+    return _tiny(batch_size=4)
 
 
 class TestEndToEnd:
