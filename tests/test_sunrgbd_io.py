@@ -166,3 +166,52 @@ class TestDataFlow:
         )
         scenes = list(flow)
         assert len(scenes) == 3
+
+
+class TestSmallHelpers:
+    def test_rigid_transform_roundtrip(self, rng=np.random.RandomState(0)):
+        from votenet_tpu.data.geometry import roty
+        from votenet_tpu.data.sunrgbd import inverse_rigid_trans, transform_from_rot_trans
+
+        R = roty(0.4)
+        t = rng.randn(3)
+        T = transform_from_rot_trans(R, t)  # (4,4)
+        inv = inverse_rigid_trans(T[:3, :])  # (3,4)
+        p = rng.randn(3)
+        q = T[:3, :3] @ p + T[:3, 3]
+        back = inv[:, :3] @ q + inv[:, 3]
+        np.testing.assert_allclose(back, p, atol=1e-12)
+
+    def test_random_shift_box2d_bounds(self):
+        from votenet_tpu.data.sunrgbd import random_shift_box2d
+
+        rng = np.random.RandomState(0)
+        box = np.array([10.0, 20.0, 110.0, 80.0])
+        for _ in range(20):
+            out = random_shift_box2d(box, 0.1, rng)
+            assert out[2] > out[0] and out[3] > out[1]
+            # center moves at most 10% of extent
+            assert abs((out[0] + out[2]) / 2 - 60) <= 10 + 1e-9
+            assert abs((out[1] + out[3]) / 2 - 50) <= 6 + 1e-9
+
+    def test_zipped_pickle_roundtrip(self, tmp_path):
+        from votenet_tpu.data.sunrgbd import load_zipped_pickle, save_zipped_pickle
+
+        obj = {"a": np.arange(5), "b": "hello"}
+        p = str(tmp_path / "x.pkl.gz")
+        save_zipped_pickle(obj, p)
+        back = load_zipped_pickle(p)
+        np.testing.assert_array_equal(back["a"], obj["a"])
+        assert back["b"] == "hello"
+
+    def test_compute_orientation_3d(self, fake_root):
+        from votenet_tpu.data.sunrgbd import (
+            SunRGBDObjectDataset, compute_orientation_3d,
+        )
+
+        ds = SunRGBDObjectDataset(fake_root, "training", [1])
+        obj = ds.get_label_objects(1)[0]
+        o2d, o3d = compute_orientation_3d(obj, ds.get_calibration(1))
+        assert o2d.shape == (2, 2)
+        assert o3d.shape == (2, 3)
+        np.testing.assert_allclose(o3d[0], obj.centroid)

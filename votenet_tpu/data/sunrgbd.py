@@ -116,6 +116,64 @@ class SUNRGBDCalibration:
         return self.project_upright_depth_to_upright_camera(pts_upright_depth)
 
 
+def transform_from_rot_trans(R: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """4x4 homogeneous transform from R (3,3) and t (3,) (sunutils.py:151-155)."""
+    R = R.reshape(3, 3)
+    t = t.reshape(3, 1)
+    return np.vstack((np.hstack([R, t]), [0, 0, 0, 1]))
+
+
+def inverse_rigid_trans(Tr: np.ndarray) -> np.ndarray:
+    """Invert a (3,4) [R|t] rigid transform (sunutils.py:158-165)."""
+    inv = np.zeros_like(Tr)
+    inv[0:3, 0:3] = np.transpose(Tr[0:3, 0:3])
+    inv[0:3, 3] = np.dot(-np.transpose(Tr[0:3, 0:3]), Tr[0:3, 3])
+    return inv
+
+
+def random_shift_box2d(box2d: np.ndarray, shift_ratio: float = 0.1, rng=None) -> np.ndarray:
+    """Randomly shift/scale a 2D box (sunutils.py:183-196); takes an
+    explicit RNG instead of global numpy state."""
+    rng = rng or np.random
+    r = shift_ratio
+    xmin, ymin, xmax, ymax = box2d
+    h, w = ymax - ymin, xmax - xmin
+    cx, cy = (xmin + xmax) / 2.0, (ymin + ymax) / 2.0
+    cx2 = cx + w * r * (rng.random() * 2 - 1)
+    cy2 = cy + h * r * (rng.random() * 2 - 1)
+    h2 = h * (1 + rng.random() * 2 * r - r)
+    w2 = w * (1 + rng.random() * 2 * r - r)
+    return np.array([cx2 - w2 / 2.0, cy2 - h2 / 2.0, cx2 + w2 / 2.0, cy2 + h2 / 2.0])
+
+
+def compute_orientation_3d(obj: SUNObject3d, calib: SUNRGBDCalibration):
+    """Project the object's orientation arrow into the image
+    (sunutils.py:246-264). Returns ((2,2) image pts, (2,3) 3D pts)."""
+    ori = obj.orientation
+    orientation_3d = np.array([[0.0, ori[0]], [0.0, ori[1]], [0.0, 0.0]])
+    orientation_3d += obj.centroid.reshape(3, 1)
+    orientation_2d, _ = calib.project_upright_depth_to_image(np.transpose(orientation_3d))
+    return orientation_2d, np.transpose(orientation_3d)
+
+
+def save_zipped_pickle(obj, filename: str, protocol: int = -1) -> None:
+    """gzip-pickle writer (sunutils.py:297-299)."""
+    import gzip
+    import pickle
+
+    with gzip.open(filename, "wb") as f:
+        pickle.dump(obj, f, protocol)
+
+
+def load_zipped_pickle(filename: str):
+    """gzip-pickle reader (sunutils.py:302-305)."""
+    import gzip
+    import pickle
+
+    with gzip.open(filename, "rb") as f:
+        return pickle.load(f)
+
+
 def compute_box_3d(obj: SUNObject3d, calib: SUNRGBDCalibration):
     """Label -> 8 corners in upright depth + 2D projection
     (reference sunutils.py:212-243). Extents are doubled half-sizes."""
