@@ -158,3 +158,19 @@ class TestDataParallel:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestHostSlicing:
+    def test_host_local_slice_partition(self):
+        from votenet_tpu.parallel.mesh import host_local_slice
+
+        ids = list(range(10))
+        parts = [host_local_slice(ids, pi, 3) for pi in range(3)]
+        assert sum(parts, []) == ids  # complete, ordered, disjoint
+        assert max(len(p) for p in parts) - min(len(p) for p in parts) <= 4
+
+    def test_single_host_identity(self):
+        from votenet_tpu.parallel.mesh import host_local_slice
+
+        ids = [5, 7, 9]
+        assert host_local_slice(ids, 0, 1) == ids

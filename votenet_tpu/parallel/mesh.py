@@ -38,6 +38,22 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def host_local_slice(ids: Sequence, process_index: Optional[int] = None,
+                     process_count: Optional[int] = None) -> list:
+    """Partition a scene-id list across hosts for multi-host pods.
+
+    Each process loads only its contiguous slice (the per-host input
+    pipeline over DCN, SURVEY §2.3); `shard_batch` then places each host's
+    examples on its addressable devices. On a single host this is the
+    identity.
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    ids = list(ids)
+    per = -(-len(ids) // pc)
+    return ids[pi * per : (pi + 1) * per]
+
+
 def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     """Device-put a host batch with the leading axis sharded over the mesh.
 
