@@ -50,3 +50,32 @@ class TestBF16Mode:
         )))
         state, metrics = step(state, batch)
         assert np.isfinite(float(metrics["total_cost"]))
+
+
+class TestRemat:
+    def test_remat_matches_baseline(self, rng):
+        """remat changes memory, not values: outputs and grads must match."""
+        import jax
+        from votenet_tpu.train.loop import make_train_step
+        from votenet_tpu.train.state import create_train_state
+        from votenet_tpu.data.synthetic import synthetic_scenes
+        from votenet_tpu.data.dataflow import batch_scenes
+
+        cfg = tiny_config().replace(batch_size=2)
+        cfg_r = cfg.replace(remat=True)
+        batch = next(iter(batch_scenes(
+            iter(synthetic_scenes(0, cfg, 2)), cfg.batch_size, cfg.max_gt_boxes
+        )))
+        state = create_train_state(jax.random.PRNGKey(0), cfg, 1)
+
+        m = VoteNet(cfg)
+        m_r = VoteNet(cfg_r)
+        s1, met1 = jax.jit(make_train_step(m, cfg))(state, batch)
+        s2, met2 = jax.jit(make_train_step(m_r, cfg_r))(state, batch)
+        np.testing.assert_allclose(
+            float(met1["total_cost"]), float(met2["total_cost"]), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

@@ -73,6 +73,9 @@ class Config:
     bn_eps: float = 1e-5
     compute_dtype: str = "float32"   # "bfloat16" to run MLPs on MXU in bf16
     use_pallas: bool = True      # Pallas kernels on TPU; XLA fallback elsewhere
+    remat: bool = False          # rematerialize SA/FP blocks in backward
+                                 # (trades ~15% step time for O(layers) less
+                                 # activation HBM — enables much larger batches)
 
     # --- data (reference run.py:99,129) ---
     data_root: str = "/data/mysunrgbd"

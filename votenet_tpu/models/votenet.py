@@ -79,10 +79,16 @@ class VoteNet(nn.Module):
         l0_xyz = points
         l0_points = points  # the reference feeds xyz as the l0 features (model.py:35-36)
 
+        # optional rematerialization: recompute SA activations in the
+        # backward pass instead of keeping the (B, npoint, nsample, C)
+        # grouped tensors alive across the whole graph
+        # static_argnums counts self: (self, xyz, points, train) -> train is 3
+        sa_cls = nn.remat(PointNetSAModule, static_argnums=(3,)) if cfg.remat else PointNetSAModule
+
         xyz, feats = l0_xyz, l0_points
         sa_out = []
         for i in range(4):
-            xyz, feats, _ = PointNetSAModule(
+            xyz, feats, _ = sa_cls(
                 npoint=cfg.sa_npoints[i],
                 radius=cfg.sa_radii[i],
                 nsample=cfg.sa_nsamples[i],
