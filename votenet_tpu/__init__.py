@@ -15,8 +15,17 @@ Tensorpack / CUDA reference at /root/reference) designed TPU-first:
   ``jax.sharding.Mesh`` (:mod:`votenet_tpu.parallel`).
 """
 
-from votenet_tpu.config import Config, default_config
+from votenet_tpu.config import Config, default_config, tiny_config
 
 __version__ = "0.1.0"
 
-__all__ = ["Config", "default_config", "__version__"]
+__all__ = ["Config", "default_config", "tiny_config", "VoteNetPredictor", "__version__"]
+
+
+def __getattr__(name):
+    # lazy: keep `import votenet_tpu` cheap (no jax/flax import at top level)
+    if name == "VoteNetPredictor":
+        from votenet_tpu.predictor import VoteNetPredictor
+
+        return VoteNetPredictor
+    raise AttributeError(name)
