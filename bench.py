@@ -76,11 +76,30 @@ def _build_predict(batch_size: int):
 
 
 def bench_inference():
+    # The axon tunnel adds large, variable per-dispatch latency, so the
+    # headline is measured as ONE dispatch of K serially-chained forward
+    # passes inside a device-side fori_loop (each iteration's input depends
+    # on the previous keep-mask, preventing CSE/overlap): pure chip
+    # throughput, independent of host/tunnel congestion.
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
     predict, pts = _build_predict(BATCH)
-    # best of 4 rounds with a generous warmup: throughput dips come from
-    # host/tunnel noise (cold queues right after compile), not the device,
-    # so the best round reflects steady-state chip throughput
-    dt = min(_timeit(lambda: predict(pts), iters=10, warmup=8) for _ in range(4))
+    K = 10
+
+    @jax.jit
+    def chained(points):
+        def body(i, carry):
+            p, acc = carry
+            _, _, keep = predict(p)
+            acc = acc + jnp.sum(keep)
+            p = p + acc.astype(jnp.float32) * 1e-30  # serialize iterations
+            return p, acc
+
+        return lax.fori_loop(0, K, body, (points, jnp.int32(0)))
+
+    dt = min(_timeit(lambda: chained(pts), iters=3, warmup=2) for _ in range(3)) / K
     scenes_per_sec = BATCH / dt
 
     vs_baseline = None
