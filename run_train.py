@@ -32,9 +32,9 @@ def main():
                         choices=["reference", "masked"])
     parser.add_argument("--preset", default="full", choices=["full", "tiny"],
                         help="tiny = scaled-down model for smoke tests")
-    args = parser.parse_args()
+    args, config_argv = parser.parse_known_args()
 
-    from votenet_tpu.config import default_config
+    from votenet_tpu.config import config_from_args, default_config
     from votenet_tpu.data.dataflow import SunRGBDDataFlow, batch_scenes
     from votenet_tpu.data.synthetic import synthetic_gt_all, synthetic_scenes
     from votenet_tpu.eval.evaluator import Evaluator, make_predict_fn
@@ -46,16 +46,27 @@ def main():
     from votenet_tpu.config import tiny_config
 
     cfg = tiny_config() if args.preset == "tiny" else default_config()
+    # any scalar Config field is overridable: --use_pallas=False,
+    # --compute_dtype=bfloat16, --max_gt_boxes=128, ...
+    cfg = config_from_args(config_argv, base=cfg)
     if args.batch_size:
         cfg = cfg.replace(batch_size=args.batch_size)
     if args.max_epoch:
         cfg = cfg.replace(max_epoch=args.max_epoch)
     cfg = cfg.replace(data_root=args.data_root, cache_dir=args.cache_dir)
 
+    from votenet_tpu.ops.dispatch import set_use_pallas
+
+    set_use_pallas(cfg.use_pallas)
     n_dev = len(jax.devices())
-    mesh = make_mesh() if n_dev > 1 else None
-    if mesh is not None and cfg.batch_size % n_dev != 0:
-        cfg = cfg.replace(batch_size=n_dev * max(1, cfg.batch_size // n_dev))
+    mesh = (
+        make_mesh(axis_names=cfg.mesh_axis_names, shape=cfg.mesh_shape)
+        if n_dev > 1
+        else None
+    )
+    n_mesh = mesh.size if mesh is not None else 1
+    if mesh is not None and cfg.batch_size % n_mesh != 0:
+        cfg = cfg.replace(batch_size=n_mesh * max(1, cfg.batch_size // n_mesh))
     print(f"devices={n_dev} batch={cfg.batch_size} mesh={mesh}")
 
     if args.synthetic:

@@ -7,6 +7,10 @@ import numpy as np
 from votenet_tpu.models.votenet import VoteNet
 from tests.test_end2end import tiny_config
 
+import pytest
+
+pytestmark = pytest.mark.slow  # see pytest.ini; fast lane = -m 'not slow'
+
 
 class TestBF16Mode:
     def test_forward_close_to_f32(self, rng):

@@ -16,6 +16,10 @@ from votenet_tpu.models.votenet import VoteNet
 from votenet_tpu.train.loop import make_train_step
 from votenet_tpu.train.state import create_train_state
 
+import pytest
+
+pytestmark = pytest.mark.slow  # see pytest.ini; fast lane = -m 'not slow'
+
 
 class TestDeterminism:
     def test_train_step_bitwise_reproducible(self):

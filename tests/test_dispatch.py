@@ -1,0 +1,74 @@
+"""Tests for the Pallas/XLA dispatch gate (ops/dispatch.py).
+
+Config.use_pallas must actually control dispatch (round-1 verdict: the knob
+was dead). We fake a TPU backend via monkeypatching tpu_available — if the
+gate were ignored, farthest_point_sample would try to lower the Pallas
+kernel on CPU and fail.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+import votenet_tpu.ops.pallas as ops_pallas
+from votenet_tpu.ops import dispatch
+from votenet_tpu.ops.sampling import farthest_point_sample, farthest_point_sample_xla
+
+
+class TestDispatchGate:
+    def test_cpu_backend_never_uses_pallas(self):
+        dispatch.set_use_pallas(True)
+        assert dispatch.use_pallas() is False  # tests run on CPU
+
+    def test_set_use_pallas_gates_fake_tpu(self, monkeypatch):
+        monkeypatch.setattr(ops_pallas, "tpu_available", lambda: True)
+        dispatch.set_use_pallas(True)
+        assert dispatch.use_pallas() is True
+        dispatch.set_use_pallas(False)
+        assert dispatch.use_pallas() is False
+        dispatch.set_use_pallas(True)
+
+    def test_pallas_disabled_context(self, monkeypatch):
+        monkeypatch.setattr(ops_pallas, "tpu_available", lambda: True)
+        dispatch.set_use_pallas(True)
+        with dispatch.pallas_disabled():
+            assert dispatch.use_pallas() is False
+        assert dispatch.use_pallas() is True
+
+    def test_disabled_dispatch_runs_xla_twin(self, monkeypatch, rng):
+        """On a (faked) TPU with use_pallas=False, the op must take the XLA
+        path — the Pallas kernel cannot lower on this CPU backend, so mere
+        success proves the gate is honored."""
+        monkeypatch.setattr(ops_pallas, "tpu_available", lambda: True)
+        dispatch.set_use_pallas(False)
+        try:
+            xyz = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+            got = farthest_point_sample(8, xyz)
+            want = farthest_point_sample_xla(8, xyz)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        finally:
+            dispatch.set_use_pallas(True)
+
+    def test_config_knob_reaches_dispatch(self):
+        from votenet_tpu.config import config_from_args
+
+        cfg = config_from_args(["--use_pallas=False"])
+        assert cfg.use_pallas is False
+        cfg = config_from_args(["--use_pallas=True"])
+        assert cfg.use_pallas is True
+
+    def test_predictor_applies_config(self, monkeypatch):
+        import votenet_tpu.predictor as predictor_mod
+
+        seen = []
+        monkeypatch.setattr(
+            "votenet_tpu.ops.dispatch.set_use_pallas", lambda v: seen.append(v)
+        )
+        from votenet_tpu.config import tiny_config
+
+        try:
+            predictor_mod.VoteNetPredictor(
+                config=tiny_config(use_pallas=False), batch_size=1
+            )
+        except Exception:
+            pass  # param init may be heavy; the gate call happens first
+        assert seen and seen[0] is False

@@ -19,6 +19,8 @@ from votenet_tpu.models.votenet import VoteNet
 from votenet_tpu.train.loop import Trainer, make_train_step
 from votenet_tpu.train.state import create_train_state
 
+pytestmark = pytest.mark.slow  # see pytest.ini; fast lane = -m 'not slow'
+
 
 def tiny_config():
     from votenet_tpu.config import tiny_config as _tiny

@@ -202,3 +202,64 @@ class TestLossParity:
         np.testing.assert_allclose(float(got.box_loss), want["box_loss"], rtol=2e-4)
         np.testing.assert_allclose(float(got.sem_cls_loss), want["sem_cls_loss"], rtol=2e-4)
         np.testing.assert_allclose(float(got.total), want["total"], rtol=2e-4)
+
+
+class TestEmptySelectionSets:
+    """Documented deviation: empty positive/negative sets yield finite 0
+    terms where the reference's reduce_mean-of-empty yields NaN
+    (model.py:162). See the losses.py module docstring."""
+
+    def _make_inputs(self, rng, proposal_offset):
+        cfg = Config(
+            point_num=64, max_gt_boxes=4, proposal_num=8,
+            num_heading_bin=12, num_size_cluster=10, num_class=10,
+        )
+        B, N, P, G = 2, 10, cfg.proposal_num, cfg.max_gt_boxes
+        gt_centers = (rng.randn(B, G, 3) * 0.5).astype(np.float32)
+        # place every proposal at a fixed offset from its assigned GT center
+        proposals = (
+            gt_centers[:, np.arange(P) % G] + proposal_offset
+        ).astype(np.float32)
+        end_points = {
+            "seeds_xyz": rng.randn(B, N, 3).astype(np.float32),
+            "votes_xyz": rng.randn(B, N, 3).astype(np.float32),
+            "proposals_xyz": jnp.asarray(proposals),
+            "proposals_output": jnp.asarray(
+                rng.randn(B, P, cfg.num_proposal_channels).astype(np.float32)
+            ),
+        }
+        gt = {
+            "bboxes_xyz": jnp.asarray(gt_centers),
+            "bboxes_lwh": jnp.asarray(rng.uniform(0.5, 2, (B, G, 3)).astype(np.float32)),
+            "bboxes_roty": jnp.asarray(rng.uniform(0, 6.28, (B, G)).astype(np.float32)),
+            "semantic_labels": jnp.asarray(rng.randint(0, 10, (B, G)), jnp.int32),
+            "heading_labels": jnp.asarray(rng.randint(0, 12, (B, G)), jnp.int32),
+            "heading_residuals": jnp.asarray((rng.randn(B, G) * 0.3).astype(np.float32)),
+            "size_labels": jnp.asarray(rng.randint(0, 10, (B, G)), jnp.int32),
+            "size_residuals": jnp.asarray((rng.randn(B, G, 3) * 0.2).astype(np.float32)),
+            "gt_count": jnp.full((B,), G, jnp.int32),
+        }
+        ep = {k: jnp.asarray(v) for k, v in end_points.items()}
+        return cfg, ep, gt
+
+    def test_zero_positives_finite(self, rng):
+        # every proposal is ~5m from every GT center: no positives (<0.3),
+        # all negatives (>0.6)
+        cfg, ep, gt = self._make_inputs(rng, proposal_offset=np.array([5.0, 0, 0]))
+        out = votenet_loss(ep, gt, cfg, pad_semantics="reference")
+        for name, v in out._asdict().items():
+            assert np.isfinite(float(v)), f"{name} not finite with 0 positives"
+        # positive-masked terms collapse to 0, not NaN (center_loss stays
+        # positive through its dual chamfer term, which ignores positives —
+        # model.py:175-182)
+        assert float(out.sem_cls_loss) == 0.0
+        assert int(out.num_positive) == 0
+
+    def test_zero_negatives_finite(self, rng):
+        # every proposal sits 0.05m from a GT center: all positives, no
+        # negatives (nothing in the >0.6 band)
+        cfg, ep, gt = self._make_inputs(rng, proposal_offset=np.array([0.05, 0, 0]))
+        out = votenet_loss(ep, gt, cfg, pad_semantics="reference")
+        for name, v in out._asdict().items():
+            assert np.isfinite(float(v)), f"{name} not finite with 0 negatives"
+        assert float(out.center_loss) > 0.0

@@ -105,6 +105,7 @@ class TestLoss:
         assert np.isfinite(float(losses.vote_reg_loss))
         assert 0 <= float(losses.obj_accuracy) <= 1
 
+    @pytest.mark.slow
     def test_grads_flow_everywhere(self, model_and_vars, rng):
         cfg, model, variables, pts = model_and_vars
         gt = make_gt(cfg, rng)

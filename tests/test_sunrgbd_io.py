@@ -215,3 +215,150 @@ class TestSmallHelpers:
         assert o2d.shape == (2, 2)
         assert o3d.shape == (2, 3)
         np.testing.assert_allclose(o3d[0], obj.centroid)
+
+
+def make_ghost_scene_root(tmp_path_factory):
+    """One scene with (a) a chair that has a real point cluster and (b) a
+    'ghost' table whose 2D box covers the whole image but whose 3D box sits
+    outside the point region: >=5 frustum points, 0 in-box points. The
+    reference's rejection criterion (dataset.py:282, len over the frustum
+    mask) KEEPS the ghost; the corrected in-box criterion rejects it."""
+    root = str(tmp_path_factory.mktemp("sunrgbd_ghost"))
+    rng = np.random.RandomState(7)
+    for sub in ("calib", "depth", "label_dimension", "image"):
+        os.makedirs(os.path.join(root, "training", sub), exist_ok=True)
+
+    Rtilt = np.eye(3)
+    K = np.array([[520.0, 0, 320.0], [0, 520.0, 240.0], [0, 0, 1.0]])
+    with open(os.path.join(root, "training", "calib", "000001.txt"), "w") as f:
+        f.write(" ".join(str(v) for v in Rtilt.reshape(-1, order="F")) + "\n")
+        f.write(" ".join(str(v) for v in K.reshape(-1, order="F")) + "\n")
+
+    # chair: cluster of 800 points at its center
+    chair = (0.5, 3.0, 0.5, 0.4, 0.5, 0.45, 0.3)  # cx cy cz w l h heading
+    from votenet_tpu.data.geometry import rotz
+
+    cx, cy, cz, w, l, h, heading = chair
+    local = rng.uniform(-0.9, 0.9, (800, 3)) * [l, w, h]
+    cluster = local @ rotz(-heading).T + [cx, cy, cz]
+    background = rng.uniform([-3, 0.5, -1], [3, 6, 2], (2200, 3))
+    cloud = np.concatenate([background, cluster])
+    depth = np.concatenate([cloud, rng.rand(len(cloud), 3)], axis=1)
+    np.savetxt(os.path.join(root, "training", "depth", "000001.txt"), depth, fmt="%.4f")
+
+    # ghost table: 3D center at y=8 (beyond every point), 2D box = everything
+    ghost = (0.0, 8.0, 0.5, 0.3, 0.3, 0.3, 0.0)
+    lines = []
+    for cname, (cx, cy, cz, w, l, h, heading), box2d in (
+        # both 2D boxes cover the whole image: the modes differ only in the
+        # 3D-box point count (chair cluster inside vs ghost box empty)
+        ("chair", chair, (-1e4, -1e4, 2e4, 2e4)),
+        ("table", ghost, (-1e4, -1e4, 2e4, 2e4)),
+    ):
+        ori = [np.cos(-heading), -np.sin(-heading)]
+        vals = list(box2d) + [cx, cy, cz, w, l, h, 1, 0, 0, 1, ori[0], ori[1]]
+        lines.append(cname + " " + " ".join(f"{v:.6f}" for v in vals))
+    with open(
+        os.path.join(root, "training", "label_dimension", "000001.txt"), "w"
+    ) as f:
+        f.write("\n".join(lines) + "\n")
+    return root
+
+
+def reference_kept_semantics(ds, idx, cfg, seed=0):
+    """Direct numpy port of the reference object loop (dataset.py:241-299,
+    training=False) returning the semantic classes of kept boxes — the
+    parity oracle for process_scene's rejection behavior."""
+    from votenet_tpu.data.geometry import TYPE_WHITELIST, extract_pc_in_box3d
+    from votenet_tpu.data.sunrgbd import compute_box_3d
+
+    objects = ds.get_label_objects(idx)
+    calib = ds.get_calibration(idx)
+    pc_upright_depth = ds.get_depth(idx)
+    rng = np.random.RandomState(seed)
+    choice = rng.choice(pc_upright_depth.shape[0], cfg.point_num, replace=False)
+    pc_upright_depth = pc_upright_depth[choice, :]
+    pc_upright_camera = np.zeros_like(pc_upright_depth)
+    pc_upright_camera[:, :3] = calib.project_upright_depth_to_upright_camera(
+        pc_upright_depth[:, :3]
+    )
+    pc_image_coord, _ = calib.project_upright_depth_to_image(pc_upright_depth)
+    kept = []
+    for obj in objects:
+        if obj.classname not in TYPE_WHITELIST:
+            continue
+        xmin, ymin, xmax, ymax = obj.box2d
+        box_fov_inds = (
+            (pc_image_coord[:, 0] < xmax)
+            & (pc_image_coord[:, 0] >= xmin)
+            & (pc_image_coord[:, 1] < ymax)
+            & (pc_image_coord[:, 1] >= ymin)
+        )
+        pc_in_box_fov = pc_upright_camera[box_fov_inds, :]
+        _, box3d_pts_3d = compute_box_3d(obj, calib)
+        box3d_pts_3d = calib.project_upright_depth_to_upright_camera(box3d_pts_3d)
+        if np.max(box3d_pts_3d[:, 1]) - np.min(box3d_pts_3d[:, 1]) < 1e-7:
+            continue
+        _, inds = extract_pc_in_box3d(pc_in_box_fov, box3d_pts_3d)
+        if len(inds) < 5:  # the reference's literal criterion (dataset.py:282)
+            continue
+        kept.append(TYPE2CLASS[obj.classname])
+    return kept
+
+
+class TestRejectModeParity:
+    @pytest.fixture(scope="class")
+    def ghost_root(self, tmp_path_factory):
+        return make_ghost_scene_root(tmp_path_factory)
+
+    def test_frustum_mode_matches_reference_port(self, fake_root, ghost_root):
+        cfg = Config(point_num=1024, max_gt_boxes=8, reject_mode="frustum")
+        for root, idxs in ((fake_root, [1, 2, 3]), (ghost_root, [1])):
+            ds = SunRGBDObjectDataset(root, "training", idxs)
+            for idx in idxs:
+                want = reference_kept_semantics(ds, idx, cfg, seed=0)
+                scene = process_scene(
+                    ds, idx, np.random.RandomState(0), training=False, config=cfg
+                )
+                got = [] if scene is None else list(scene["semantic_labels"])
+                assert got == want, f"scene {idx}: kept-box sets differ"
+
+    def test_ghost_box_kept_by_frustum_rejected_by_in_box(self, ghost_root):
+        ds = SunRGBDObjectDataset(ghost_root, "training", [1])
+        frustum = process_scene(
+            ds, 1, np.random.RandomState(0), training=False,
+            config=Config(point_num=1024, reject_mode="frustum"),
+        )
+        in_box = process_scene(
+            ds, 1, np.random.RandomState(0), training=False,
+            config=Config(point_num=1024, reject_mode="in_box"),
+        )
+        assert sorted(frustum["semantic_labels"]) == sorted(
+            [TYPE2CLASS["chair"], TYPE2CLASS["table"]]
+        )
+        assert list(in_box["semantic_labels"]) == [TYPE2CLASS["chair"]]
+
+
+class TestLoudEdgeCases:
+    def test_too_few_points_warns_and_skips(self, fake_root):
+        cfg = Config(point_num=100000)  # fixture scenes have ~3000 points
+        ds = SunRGBDObjectDataset(fake_root, "training", [1])
+        with pytest.warns(UserWarning, match="point_num"):
+            scene = process_scene(
+                ds, 1, np.random.RandomState(0), training=False, config=cfg
+            )
+        assert scene is None
+
+    def test_gt_truncation_warns(self):
+        from votenet_tpu.data.dataflow import SCENE_KEYS, pad_gt_to_static
+
+        rng = np.random.RandomState(0)
+        scene = {"data_idx": np.int32(42), "points": rng.randn(16, 3)}
+        n = 6
+        for k in SCENE_KEYS:
+            scene[k] = rng.randn(n, 3) if k.endswith(("xyz", "lwh", "residuals")) else rng.randn(n)
+        scene["size_residuals"] = rng.randn(n, 3)
+        with pytest.warns(UserWarning, match="max_gt_boxes"):
+            out = pad_gt_to_static(scene, 4)
+        assert out["gt_count"] == 4
+        assert out["bboxes_xyz"].shape[0] == 4

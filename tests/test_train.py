@@ -54,6 +54,7 @@ def synthetic_batches(cfg, n_batches, seed=0):
     return list(batch_scenes(iter(scenes), cfg.batch_size, cfg.max_gt_boxes))
 
 
+@pytest.mark.slow
 class TestTrainStep:
     @pytest.fixture(scope="class")
     def setup(self):
@@ -116,6 +117,7 @@ class TestCheckpoint:
         assert sorted(ckpt.all_checkpoint_steps(log_dir)) == [4, 5]
 
 
+@pytest.mark.slow
 class TestDataParallel:
     def test_mesh_step_matches_single_device(self):
         """One DP step on the 8-device mesh == the same step on one device."""

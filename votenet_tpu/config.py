@@ -72,19 +72,29 @@ class Config:
     bn_momentum: float = 0.9     # tensorpack BatchNorm default decay
     bn_eps: float = 1e-5
     compute_dtype: str = "float32"   # "bfloat16" to run MLPs on MXU in bf16
-    use_pallas: bool = True      # Pallas kernels on TPU; XLA fallback elsewhere
+    use_pallas: bool = True      # Pallas kernels on TPU; False forces the XLA
+                                 # twins everywhere (applied at entry points
+                                 # via ops.dispatch.set_use_pallas)
     remat: bool = False          # rematerialize SA/FP blocks in backward
                                  # (trades ~15% step time for O(layers) less
                                  # activation HBM — enables much larger batches)
 
     # --- data (reference run.py:99,129) ---
+    # GT-box rejection criterion (dataset.py:282). The reference tests
+    # ``len(inds) < 5`` where inds is a boolean mask with one entry per
+    # 2D-frustum point — i.e. it rejects boxes whose 2D frustum contains <5
+    # points and never uses the in-3D-box count ("frustum", parity default).
+    # "in_box" is the stricter, probably-intended criterion: <5 points
+    # inside the 3D box (via Delaunay in-hull, sunutils.py:199-209).
+    reject_mode: str = "frustum"
     data_root: str = "/data/mysunrgbd"
     cache_dir: Optional[str] = None
     train_idx_range: Tuple[int, int] = (5051, 10336)  # [lo, hi)
     val_idx_range: Tuple[int, int] = (1, 5051)
 
     # --- parallelism (new; the reference is single-GPU, SURVEY §2.3) ---
-    mesh_shape: Tuple[int, ...] = (1,)   # 1-D data-parallel mesh over "data"
+    mesh_shape: Tuple[int, ...] = (-1,)  # 1-D data-parallel mesh over "data";
+                                         # -1 = all remaining devices
     mesh_axis_names: Tuple[str, ...] = ("data",)
 
     @property
@@ -120,20 +130,37 @@ def tiny_config(**overrides) -> Config:
     return Config(**base)
 
 
-def config_from_args(argv: Optional[Sequence[str]] = None) -> Config:
+def config_from_args(
+    argv: Optional[Sequence[str]] = None, base: Optional[Config] = None
+) -> Config:
     """Build a Config from ``--key=value`` CLI overrides.
 
     The reference has no flag system at all (SURVEY §5); this provides one
-    with defaults identical to the hard-coded reference values.
+    with defaults identical to the hard-coded reference values. ``base``
+    supplies the starting values (e.g. a tiny preset) instead of the
+    dataclass defaults.
     """
     import argparse
 
+    base = base or Config()
+
+    def _bool(v: str) -> bool:
+        if v.lower() in ("1", "true", "yes", "on"):
+            return True
+        if v.lower() in ("0", "false", "no", "off"):
+            return False
+        raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
     parser = argparse.ArgumentParser(description="votenet_tpu configuration")
     for field in dataclasses.fields(Config):
-        if isinstance(field.default, (int, float, str, bool)):
+        default = getattr(base, field.name)
+        if isinstance(field.default, bool):
+            # NB: bare type=bool would treat "--flag=False" as truthy
+            parser.add_argument(f"--{field.name}", type=_bool, default=default)
+        elif isinstance(field.default, (int, float, str)):
             parser.add_argument(
-                f"--{field.name}", type=type(field.default), default=field.default
+                f"--{field.name}", type=type(field.default), default=default
             )
     args, _ = parser.parse_known_args(argv)
     known = {f.name for f in dataclasses.fields(Config)}
-    return Config(**{k: v for k, v in vars(args).items() if k in known})
+    return base.replace(**{k: v for k, v in vars(args).items() if k in known})

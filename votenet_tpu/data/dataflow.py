@@ -6,9 +6,12 @@ without Tensorpack:
 - :func:`process_scene` — one (scene, augmentation) -> training example:
   subsample to POINT_NUM, transform to upright camera, frustum point counts,
   flip/rotate/scale augmentation, class/residual targets. Matches the
-  reference ordering: the in-box point-count rejection uses the
-  *unaugmented* cloud (dataset.py:257,282), boxes are augmented during the
-  object loop, points at the end (dataset.py:303-308).
+  reference ordering: point-count rejection uses the *unaugmented* cloud
+  (dataset.py:257,282), boxes are augmented during the object loop, points
+  at the end (dataset.py:303-308). The rejection criterion itself follows
+  ``config.reject_mode`` — "frustum" (parity: the reference's
+  ``len(inds) < 5`` counts the 2D-frustum points, dataset.py:282) or
+  "in_box" (corrected: <5 points inside the 3D box).
 - :class:`SunRGBDDataFlow` — iterator with per-epoch shuffling and an
   npz-file cache keyed (scene, augment-id), AUGMENT_X variants per training
   scene (dataset.py:177-214).
@@ -23,6 +26,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import warnings
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
@@ -59,6 +63,12 @@ def process_scene(
     calib = dataset.get_calibration(idx)
     pc_upright_depth = dataset.get_depth(idx)
     if pc_upright_depth.shape[0] < config.point_num:
+        # The reference crashes here (np.random.choice replace=False with
+        # n < point_num, dataset.py:186); we skip the scene, loudly.
+        warnings.warn(
+            f"scene {idx}: only {pc_upright_depth.shape[0]} points "
+            f"(< point_num={config.point_num}); skipping scene"
+        )
         return None
     choice = rng.choice(pc_upright_depth.shape[0], config.point_num, replace=False)
     pc_upright_depth = pc_upright_depth[choice, :]
@@ -91,9 +101,23 @@ def process_scene(
         box3d_pts_3d = calib.project_upright_depth_to_upright_camera(box3d_pts_3d)
         if np.max(box3d_pts_3d[:, 1]) - np.min(box3d_pts_3d[:, 1]) < 1e-7:
             continue  # degenerate SUN RGB-D annotation (dataset.py:255)
-        if pc_in_box_fov.shape[0] == 0:
-            continue
-        _, inds = extract_pc_in_box3d(pc_in_box_fov, box3d_pts_3d)
+        if config.reject_mode == "frustum":
+            # Parity: reference dataset.py:282 tests len(inds) < 5 where
+            # inds has one boolean per frustum point, i.e. the criterion is
+            # "<5 points in the 2D-box frustum". The in-hull result is never
+            # otherwise used, so we skip the Delaunay entirely.
+            support = pc_in_box_fov.shape[0]
+        elif config.reject_mode == "in_box":
+            # <5 points inside the 3D box (stricter, corrected)
+            if pc_in_box_fov.shape[0] == 0:
+                continue
+            _, inds = extract_pc_in_box3d(pc_in_box_fov, box3d_pts_3d)
+            support = int(np.sum(inds))
+        else:
+            raise ValueError(
+                f"unknown reject_mode {config.reject_mode!r} "
+                "(expected 'frustum' or 'in_box')"
+            )
 
         box3d_size = np.array([2 * obj.l, 2 * obj.w, 2 * obj.h])
         box3d_center = (box3d_pts_3d[0, :] + box3d_pts_3d[6, :]) / 2
@@ -114,7 +138,7 @@ def process_scene(
         size_class, size_residual = size2class(box3d_size, obj.classname)
         angle_class, angle_residual = angle2class(heading_angle, config.num_heading_bin)
 
-        if int(np.sum(inds)) < 5:
+        if support < 5:
             continue  # too few supporting points (dataset.py:281-283)
 
         rows["bboxes_xyz"].append(box3d_center)
@@ -221,10 +245,21 @@ class SunRGBDDataFlow:
 
 def pad_gt_to_static(scene: Dict[str, np.ndarray], max_gt: int) -> Dict[str, np.ndarray]:
     """Edge-pad per-box arrays to a static length (replicating the last box,
-    the reference's np.pad mode='edge', run.py:14-24) + gt_count."""
+    the reference's np.pad mode='edge', run.py:14-24) + gt_count.
+
+    The reference pads to the per-batch max with no cap (run.py:62-64); our
+    static shapes need a bound, so scenes with more than ``max_gt`` boxes are
+    truncated — loudly, since dropped GT changes training/eval targets. Raise
+    ``Config.max_gt_boxes`` (e.g. ``--max_gt_boxes=128``) if this fires.
+    """
     out = dict(scene)
     n = scene["bboxes_xyz"].shape[0]
     if n > max_gt:
+        warnings.warn(
+            f"scene {scene.get('data_idx', '?')}: {n} GT boxes exceed "
+            f"max_gt_boxes={max_gt}; truncating {n - max_gt} boxes. "
+            f"Raise Config.max_gt_boxes to keep them."
+        )
         for k in SCENE_KEYS:
             out[k] = scene[k][:max_gt]
         n = max_gt

@@ -87,37 +87,31 @@ def eval_det_cls(
     BB = BB[sorted_ind, ...] if len(BB) else BB
     image_ids = [image_ids[x] for x in sorted_ind]
 
-    # one vectorized IoU matrix per image, shared by all its detections
-    iou_cache: Dict = {}
-    for img_id in set(image_ids):
-        gt_boxes = class_recs[img_id]["bbox"]
-        det_boxes = np.array([BB[d] for d in range(len(image_ids)) if image_ids[d] == img_id])
-        if gt_boxes.size and det_boxes.size:
-            iou_cache[img_id] = _pairwise_iou(det_boxes, np.asarray(gt_boxes))
+    # group detections by image in one pass (positions stay in global
+    # confidence order, so per-image greedy matching is equivalent to the
+    # reference's single global loop — detections only interact with GT of
+    # their own image, evaluator.py:125-149)
+    img_rows: Dict = {}
+    for d, img_id in enumerate(image_ids):
+        img_rows.setdefault(img_id, []).append(d)
 
-    # greedy matching in confidence order, each GT used once
     nd = len(image_ids)
     tp = np.zeros(nd)
     fp = np.zeros(nd)
-    per_img_pos: Dict = {k: 0 for k in class_recs}
-    for d in range(nd):
-        img_id = image_ids[d]
-        R = class_recs[img_id]
-        row = per_img_pos[img_id]
-        per_img_pos[img_id] += 1
-        ovmax, jmax = -np.inf, -1
-        if R["bbox"].size > 0:
-            ious = iou_cache[img_id][row]
-            jmax = int(np.argmax(ious))
-            ovmax = float(ious[jmax])
-        if ovmax > ovthresh:
-            if not R["det"][jmax]:
-                tp[d] = 1.0
-                R["det"][jmax] = True
-            else:
-                fp[d] = 1.0
-        else:
-            fp[d] = 1.0
+    from votenet_tpu import native
+
+    for img_id, rows in img_rows.items():
+        gt_boxes = np.asarray(class_recs[img_id]["bbox"])
+        if gt_boxes.size == 0:
+            fp[rows] = 1.0
+            continue
+        iou = _pairwise_iou(BB[rows], gt_boxes)
+        # native C++ matcher (votenet_native.cpp::vn_greedy_match) with a
+        # numpy fallback inside; same strict `> ovthresh` / first-argmax /
+        # each-GT-once rules as the reference
+        tpi, fpi = native.greedy_match(iou, ovthresh)
+        tp[rows] = tpi
+        fp[rows] = fpi
 
     fp = np.cumsum(fp)
     tp = np.cumsum(tp)

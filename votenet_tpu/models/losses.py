@@ -18,6 +18,13 @@ GT padding) replaced by masks over static shapes:
 All min/argmin reductions over the GT axis are padding-insensitive because
 the padded entries duplicate a real box (they can win ties but carry
 identical values).
+
+Documented deviation: when a selected set is empty (e.g. a batch with zero
+positive or zero negative proposals), the reference's ``reduce_mean`` over
+an empty gather yields NaN (model.py:162) and would poison training; our
+``_masked_mean`` clamps the denominator to 1 and yields a 0 loss term
+instead. This is intentional (tested in tests/test_loss_oracle.py) — parity
+with a NaN is not useful behavior to reproduce.
 """
 
 from __future__ import annotations

@@ -24,6 +24,7 @@ nms3d                 tf_ops/3d_nms/tf_nms3d.py:11 (CPU C++)
 ====================  ==========================================
 """
 
+from votenet_tpu.ops.dispatch import pallas_disabled, set_use_pallas, use_pallas
 from votenet_tpu.ops.sampling import farthest_point_sample, gather_point, prob_sample
 from votenet_tpu.ops.grouping import (
     query_ball_point,
@@ -41,4 +42,5 @@ __all__ = [
     "three_nn", "three_interpolate",
     "box3d_iou_pairwise", "box3d_iou_matrix",
     "nms3d", "nms3d_indices",
+    "use_pallas", "set_use_pallas", "pallas_disabled",
 ]

@@ -53,7 +53,11 @@ def nms3d(
     until a fixpoint, reached after at most longest-suppression-chain
     rounds (a handful in practice). The fixpoint is exactly the greedy
     solution, so semantics match the sequential reference
-    (tf_nms3d.cpp:240-264) including tie order.
+    (tf_nms3d.cpp:240-264). Ties: the reference's priority queue compares
+    scores only (tf_nms3d.cpp:222-226), so its equal-score order is
+    heap-unspecified; our deterministic lower-index-first rule is a
+    *refinement* of that contract (one valid resolution of it), not strict
+    parity.
     """
     B, N = scores.shape
     cand = objectness[..., 1] > objectness[..., 0]  # (B, N), strict

@@ -29,8 +29,9 @@ def farthest_point_sample(npoint: int, xyz: jnp.ndarray) -> jnp.ndarray:
 
     On TPU backends this routes to the Pallas kernel
     (:mod:`votenet_tpu.ops.pallas.fps`) which runs the whole selection loop
-    in VMEM; elsewhere it uses the XLA fori_loop twin below. Identical
-    semantics either way.
+    in VMEM; elsewhere — or when Pallas is disabled via
+    :func:`votenet_tpu.ops.dispatch.set_use_pallas` — it uses the XLA
+    fori_loop twin below. Identical semantics either way.
 
     Args:
       npoint: number of points to select (static).
@@ -41,9 +42,9 @@ def farthest_point_sample(npoint: int, xyz: jnp.ndarray) -> jnp.ndarray:
       (B, npoint) int32 indices into N. First index is always 0 (the
       reference seeds FPS at index 0, tf_sampling_g.cu:114-116).
     """
-    from votenet_tpu.ops.pallas import tpu_available
+    from votenet_tpu.ops.dispatch import use_pallas
 
-    if tpu_available():
+    if use_pallas():
         from votenet_tpu.ops.pallas.fps import farthest_point_sample_pallas
 
         return farthest_point_sample_pallas(npoint, xyz)

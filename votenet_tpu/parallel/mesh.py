@@ -18,14 +18,24 @@ def make_mesh(
 
     Default: 1-D mesh named "data" over all devices (pure DP — the model is
     small, ~1M params; batch is the only profitable sharding axis for
-    VoteNet's shapes). ``shape`` allows sub-meshes or nd-meshes for tests.
+    VoteNet's shapes). ``shape`` allows sub-meshes or nd-meshes (a -1 entry
+    is inferred as "all remaining devices", like Config.mesh_shape's
+    default); when the shape uses fewer devices than available, the first
+    prod(shape) devices are taken.
     """
     if devices is None:
         devices = jax.devices()
-    devices = np.asarray(devices)
+    devices = np.asarray(devices).ravel()
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axis_names) - 1)
-    return Mesh(devices.reshape(shape), axis_names=tuple(axis_names))
+    shape = tuple(int(s) for s in shape)
+    if -1 in shape:
+        assert shape.count(-1) == 1, f"at most one -1 in mesh shape {shape}"
+        known = int(np.prod([s for s in shape if s != -1]))
+        shape = tuple(len(devices) // known if s == -1 else s for s in shape)
+    n = int(np.prod(shape))
+    assert 0 < n <= len(devices), f"mesh {shape} needs {n} devices, have {len(devices)}"
+    return Mesh(devices[:n].reshape(shape), axis_names=tuple(axis_names))
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

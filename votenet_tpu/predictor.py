@@ -31,8 +31,10 @@ class VoteNetPredictor:
     ):
         from votenet_tpu.models.decode import predict_boxes
         from votenet_tpu.models.votenet import VoteNet
+        from votenet_tpu.ops.dispatch import set_use_pallas
 
         self.config = config or default_config()
+        set_use_pallas(self.config.use_pallas)
         self.batch_size = batch_size
         model = VoteNet(self.config)
 
