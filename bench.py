@@ -75,7 +75,7 @@ def _build_predict(batch_size: int):
     return predict, pts
 
 
-def bench_inference():
+def _measure_inference():
     # The axon tunnel adds large, variable per-dispatch latency, so the
     # headline is measured as ONE dispatch of K serially-chained forward
     # passes inside a device-side fori_loop (each iteration's input depends
@@ -100,7 +100,50 @@ def bench_inference():
         return lax.fori_loop(0, K, body, (points, jnp.int32(0)))
 
     dt = min(_timeit(lambda: chained(pts), iters=3, warmup=2) for _ in range(3)) / K
-    scenes_per_sec = BATCH / dt
+    return BATCH / dt
+
+
+def _measure_train_step():
+    """Train-step scenes/s, device-side chained like inference: one dispatch
+    of K full optimizer steps (state naturally serializes iterations)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from votenet_tpu.config import default_config
+    from votenet_tpu.data.dataflow import batch_scenes
+    from votenet_tpu.data.synthetic import synthetic_scenes
+    from votenet_tpu.models.votenet import VoteNet
+    from votenet_tpu.train.loop import make_train_step
+    from votenet_tpu.train.state import create_train_state
+
+    cfg = default_config().replace(batch_size=BATCH)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, steps_per_epoch=100)
+    model = VoteNet(cfg)
+    step_fn = make_train_step(model, cfg)
+    batch = next(iter(batch_scenes(
+        iter(synthetic_scenes(0, cfg, cfg.batch_size)), cfg.batch_size, cfg.max_gt_boxes
+    )))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    K = 8
+
+    @jax.jit
+    def chained(state, batch):
+        def body(i, carry):
+            st, acc = carry
+            st, m = step_fn(st, batch)
+            return st, acc + m["total_cost"]
+
+        return lax.fori_loop(0, K, body, (state, jnp.float32(0.0)))
+
+    dt = min(_timeit(lambda: chained(state, batch), iters=2, warmup=1)
+             for _ in range(3)) / K
+    return BATCH / dt
+
+
+def bench_inference():
+    scenes_per_sec = _measure_inference()
+    train_sps = _measure_train_step()
 
     vs_baseline = None
     if os.path.exists(CPU_REF_FILE):
@@ -113,6 +156,7 @@ def bench_inference():
         "value": round(scenes_per_sec, 3),
         "unit": "scenes/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline is not None else None,
+        "train_step_scenes_per_sec": round(train_sps, 3),
     }))
 
 
@@ -185,30 +229,8 @@ def bench_ball_query():
 
 
 def bench_train_step():
-    import jax
-
-    from votenet_tpu.config import default_config
-    from votenet_tpu.data.dataflow import batch_scenes
-    from votenet_tpu.data.synthetic import synthetic_scenes
-    from votenet_tpu.models.votenet import VoteNet
-    from votenet_tpu.train.loop import make_train_step
-    from votenet_tpu.train.state import create_train_state
-
-    cfg = default_config().replace(batch_size=BATCH)
-    state = create_train_state(jax.random.PRNGKey(0), cfg, steps_per_epoch=100)
-    model = VoteNet(cfg)
-    step = jax.jit(make_train_step(model, cfg))
-    batch = next(iter(batch_scenes(
-        iter(synthetic_scenes(0, cfg, cfg.batch_size)), cfg.batch_size, cfg.max_gt_boxes
-    )))
-
-    def run():
-        nonlocal state
-        state, m = step(state, batch)
-        return m["total_cost"]
-
-    dt = _timeit(run, iters=5, warmup=2)
-    print(json.dumps({"metric": "train_step_scenes_per_sec", "value": round(BATCH / dt, 3),
+    sps = _measure_train_step()
+    print(json.dumps({"metric": "train_step_scenes_per_sec", "value": round(sps, 3),
                       "unit": "scenes/s", "vs_baseline": None}))
 
 
