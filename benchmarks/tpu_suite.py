@@ -259,30 +259,30 @@ def bench_stages_bwd():
 
 
 def bench_scatter():
-    """Pallas scatter-add vs XLA scatter at sa1-backward size."""
+    """MXU one-hot scatter-add (group_point VJP) vs XLA scatter at sa2 size."""
     import jax
     import jax.numpy as jnp
 
-    from votenet_tpu.ops.pallas.scatter import scatter_add_rows_pallas
+    from votenet_tpu.ops.grouping import scatter_add_mxu
 
     rng = np.random.RandomState(0)
-    B, R, C, N = 8, 2048 * 64, 131, 20480
-    g = jnp.asarray(rng.randn(B, R, C), jnp.float32)
-    idx = jnp.asarray(rng.randint(0, N, (B, R)), jnp.int32)
+    B, M, S, C, N = 8, 1024, 64, 131, 2048
+    g = jnp.asarray(rng.randn(B, M, S, C), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, N, (B, M, S)), jnp.int32)
 
     xla = jax.jit(lambda g, i: jnp.zeros((B, N, C), jnp.float32).at[
-        jnp.arange(B)[:, None], i
-    ].add(g))
-    pal = jax.jit(lambda g, i: scatter_add_rows_pallas(g, i, N))
+        jnp.arange(B)[:, None], i.reshape(B, -1)
+    ].add(g.reshape(B, -1, C)))
+    mxu = jax.jit(lambda g, i: scatter_add_mxu(g, i, N))
 
     a = xla(g, idx)
-    b = pal(g, idx)
+    b = mxu(g, idx)
     ok = np.allclose(np.asarray(a), np.asarray(b), atol=1e-3)
-    print(f"scatter correctness (pallas vs xla): {ok}", flush=True)
+    print(f"scatter correctness (mxu vs xla): {ok}", flush=True)
     txla = timeit(lambda: xla(g, idx), iters=5)
-    tpal = timeit(lambda: pal(g, idx), iters=5)
-    print(f"scatter-add 8x131072x131->20480: xla {txla*1e3:.1f} ms | "
-          f"pallas {tpal*1e3:.1f} ms ({txla/tpal:.1f}x)", flush=True)
+    tmxu = timeit(lambda: mxu(g, idx), iters=5)
+    print(f"scatter-add 8x65536x131->2048: xla {txla*1e3:.1f} ms | "
+          f"mxu one-hot {tmxu*1e3:.1f} ms ({txla/tmxu:.1f}x)", flush=True)
 
 
 def bench_batch_scaling():

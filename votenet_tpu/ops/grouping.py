@@ -148,21 +148,94 @@ def query_ball_point(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2: jnp.n
     return lax.stop_gradient(idx), lax.stop_gradient(cnt)
 
 
-def group_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Gather grouped features: (B, N, C), (B, M, S) -> (B, M, S, C).
-
-    Implemented as a flat row-gather from a (B*N, C) table — the
-    embedding-lookup pattern XLA TPU optimizes best (~1.7x faster than a
-    batched take_along_axis at SUN RGB-D sizes). Differentiable w.r.t.
-    ``points``; the VJP is a deterministic segment-sum (replacing the
-    reference's atomicAdd scatter, tf_grouping_g.cu:61-78).
-    """
+def _group_point_gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Flat row-gather from a (B*N, C) table — the embedding-lookup pattern
+    XLA TPU optimizes best (~1.7x faster than batched take_along_axis)."""
     B, N, C = points.shape
     _, M, S = idx.shape
     table = points.reshape(B * N, C)
     off = (jnp.arange(B, dtype=jnp.int32) * N)[:, None, None]
     flat = (idx.astype(jnp.int32) + off).reshape(-1)
     return jnp.take(table, flat, axis=0).reshape(B, M, S, C)
+
+
+def scatter_add_mxu(
+    g: jnp.ndarray, idx: jnp.ndarray, num_rows: int, chunk: int = 2048
+) -> jnp.ndarray:
+    """Transpose of :func:`group_point`: Σ_{m,s} 1[idx==n]·g as MXU matmuls.
+
+    XLA lowers a plain scatter-add to a slow serialized loop on TPU
+    (~2x the time of this formulation at SUN RGB-D shapes, see
+    benchmarks/scatter_bench.py); instead we scan over update chunks and
+    contract a float32 one-hot of the destination indices against the
+    update values on the MXU. Products are exact (one-hot entries are 0/1,
+    accumulation in f32), summation order is fixed by the scan — fully
+    deterministic, unlike the reference's atomicAdd (tf_grouping_g.cu:61-78).
+
+    Args:
+      g: (B, M, S, C) update values (cotangent of the gathered output).
+      idx: (B, M, S) int32 destination rows.
+      num_rows: N, the size of the destination axis.
+      chunk: updates per matmul (scan step).
+
+    Returns:
+      (B, N, C) float32 accumulated gradient.
+    """
+    B, M, S, C = g.shape
+    K = M * S
+    chunk = min(chunk, K)
+    pad = (-K) % chunk
+    gf = g.reshape(B, K, C).astype(jnp.float32)
+    idxf = idx.reshape(B, K).astype(jnp.int32)
+    if pad:
+        gf = jnp.pad(gf, ((0, 0), (0, pad), (0, 0)))  # zero updates: no-op
+        idxf = jnp.pad(idxf, ((0, 0), (0, pad)))
+    n_chunks = (K + pad) // chunk
+
+    def body(acc, args):
+        ik, gk = args  # (B, chunk), (B, chunk, C)
+        oh = jax.nn.one_hot(ik, num_rows, dtype=jnp.float32)
+        return acc + jnp.einsum(
+            "bkn,bkc->bnc", oh, gk, preferred_element_type=jnp.float32
+        ), None
+
+    acc0 = jnp.zeros((B, num_rows, C), jnp.float32)
+    ik = idxf.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+    gk = gf.reshape(B, n_chunks, chunk, C).transpose(1, 0, 2, 3)
+    acc, _ = lax.scan(body, acc0, (ik, gk))
+    return acc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _group_point_tpu(N: int, points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    return _group_point_gather(points, idx)
+
+
+def _group_point_tpu_fwd(N, points, idx):
+    return _group_point_gather(points, idx), idx
+
+
+def _group_point_tpu_bwd(N, idx, g):
+    # the cotangent dtype equals the primal dtype (gather preserves dtype)
+    return scatter_add_mxu(g, idx, N).astype(g.dtype), None
+
+
+_group_point_tpu.defvjp(_group_point_tpu_fwd, _group_point_tpu_bwd)
+
+
+def group_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather grouped features: (B, N, C), (B, M, S) -> (B, M, S, C).
+
+    Differentiable w.r.t. ``points``. On TPU the VJP is the MXU one-hot
+    segment-sum (:func:`scatter_add_mxu`); elsewhere it is XLA's native
+    scatter-add (fast on CPU). Both are deterministic, replacing the
+    reference's atomicAdd scatter (tf_grouping_g.cu:61-78).
+    """
+    from votenet_tpu.ops.pallas import tpu_available
+
+    if tpu_available():
+        return _group_point_tpu(points.shape[1], points, idx)
+    return _group_point_gather(points, idx)
 
 
 @functools.partial(jax.jit, static_argnums=0)
