@@ -1,0 +1,149 @@
+"""Per-stage timing of the full VoteNet forward at B=8 on the real chip.
+
+Each stage is measured as ONE dispatch of K device-side chained iterations
+(a fori_loop whose input is perturbed by the previous output), so the axon
+tunnel's multi-ms per-dispatch latency is amortized away — the same trick as
+bench.py's headline measurement.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+B = int(os.environ.get("BENCH_BATCH", "8"))
+K = 20
+
+
+def _sync(x):
+    np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
+
+
+def chained_time(fn, x0, *rest, iters=3, warmup=1):
+    """Time fn(x, *rest) over K chained device-side iterations.
+
+    ``x0`` must be a float array; each iteration's input is perturbed by a
+    scalar derived from the previous output to serialize the loop.
+    """
+
+    @jax.jit
+    def loop(x, rest):
+        def body(i, carry):
+            x, acc = carry
+            out = fn(x, *rest)
+            s = jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32))
+            return x + s * 1e-30, acc + s
+
+        return lax.fori_loop(0, K, body, (x, jnp.float32(0.0)))
+
+    for _ in range(warmup):
+        _sync(loop(x0, rest))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = loop(x0, rest)
+    _sync(out)
+    return (time.perf_counter() - t0) / (iters * K)
+
+
+def main():
+    from votenet_tpu import ops
+
+    rng = np.random.RandomState(0)
+    total = 0.0
+
+    layers = [
+        ("sa1", 20480, 2048, 0.2, 64, 0, 128),
+        ("sa2", 2048, 1024, 0.4, 64, 128, 256),
+        ("sa3", 1024, 512, 0.8, 64, 256, 256),
+        ("sa4", 512, 256, 1.2, 64, 256, 256),
+        ("prop", 1024, 256, 0.3, 64, 256, 128),
+    ]
+    for name, N, M, r, S, Cin, Cout in layers:
+        xyz = jnp.asarray(rng.uniform(-4, 4, (B, N, 3)), jnp.float32)
+        feat = (jnp.asarray(rng.standard_normal((B, N, Cin)), jnp.float32)
+                if Cin else None)
+
+        t_fps = chained_time(lambda x: ops.farthest_point_sample(M, x), xyz)
+        fps_idx = jax.jit(lambda x: ops.farthest_point_sample(M, x))(xyz)
+        new_xyz = jax.jit(ops.gather_point)(xyz, fps_idx)
+
+        t_bq = chained_time(
+            lambda x, q: ops.query_ball_point(r, S, x, q), xyz, new_xyz
+        )
+        idx, _ = jax.jit(lambda x, q: ops.query_ball_point(r, S, x, q))(xyz, new_xyz)
+        both = jnp.concatenate([xyz, feat], axis=-1) if feat is not None else xyz
+
+        def group(both, idx, new_xyz):
+            g = ops.group_point(both, idx)
+            return g.at[..., :3].add(-new_xyz[:, :, None, :])
+
+        t_group = chained_time(group, both, idx, new_xyz)
+        grouped = jax.jit(group)(both, idx, new_xyz)
+
+        Cg = grouped.shape[-1]
+        W0 = jnp.asarray(rng.standard_normal((Cg, Cout)) * 0.05, jnp.float32)
+        W1 = jnp.asarray(rng.standard_normal((Cout, Cout)) * 0.05, jnp.float32)
+
+        def mlp(g, W0, W1):
+            h = jax.nn.relu(g @ W0)
+            h = jax.nn.relu(h @ W1)
+            return jnp.max(h, axis=2)
+
+        t_mlp = chained_time(mlp, grouped, W0, W1)
+        total += t_fps + t_bq + t_group + t_mlp
+        print(f"{name:5s} fps={t_fps*1e3:6.2f}ms bq={t_bq*1e3:6.2f}ms "
+              f"group={t_group*1e3:6.2f}ms mlp+pool={t_mlp*1e3:6.2f}ms", flush=True)
+
+    for name, n, m, C in [("fp1", 512, 1024, 256), ("fp2", 1024, 2048, 256)]:
+        xyz1 = jnp.asarray(rng.uniform(-4, 4, (B, n, 3)), jnp.float32)
+        xyz2 = jnp.asarray(rng.uniform(-4, 4, (B, m, 3)), jnp.float32)
+        feat = jnp.asarray(rng.standard_normal((B, n, C)), jnp.float32)
+
+        def fp(feat, xyz1, xyz2):
+            dist, idx = ops.three_nn(xyz2, xyz1)
+            w = 1.0 / jnp.maximum(dist, 1e-10)
+            w = w / jnp.sum(w, axis=-1, keepdims=True)
+            return ops.three_interpolate(feat, idx, w)
+
+        t_fp = chained_time(fp, feat, xyz1, xyz2)
+        total += t_fp
+        print(f"{name:5s} three_nn+interp={t_fp*1e3:6.2f}ms", flush=True)
+
+    from votenet_tpu.config import default_config
+    from votenet_tpu.models.decode import predict_boxes
+    from votenet_tpu.models.votenet import VoteNet
+
+    cfg = default_config()
+    model = VoteNet(cfg)
+    pts = jnp.asarray(rng.uniform(-4, 4, (B, cfg.point_num, 3)), jnp.float32)
+    variables = jax.jit(lambda rr, p: model.init(rr, p, train=False))(
+        jax.random.PRNGKey(0), pts
+    )
+    ep = jax.jit(lambda p: model.apply(variables, p, train=False))(pts)
+    proposals = {k: ep[k] for k in ep if hasattr(ep[k], "dtype")}
+
+    t_dec = chained_time(
+        lambda obj: predict_boxes({**proposals, "objectness_scores": obj}, cfg)["bboxes"],
+        proposals["objectness_scores"],
+    )
+    print(f"decode+nms = {t_dec*1e3:6.2f}ms", flush=True)
+    total += t_dec
+
+    def full(p):
+        return predict_boxes(model.apply(variables, p, train=False), cfg)["bboxes"]
+
+    t_full = chained_time(full, pts)
+    print(f"sum-of-stages = {total*1e3:.2f}ms | full jitted fwd = {t_full*1e3:.2f}ms",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,11 +34,40 @@ BN_EPS = 1e-5
 KERNEL_INIT = nn.initializers.he_normal()
 
 
+class CenteredDense(nn.Module):
+    """Dense layer with the grouped-xyz center-subtract folded in.
+
+    ``(g - pad(center)) @ W + b == g @ W - center @ W[:3] + b`` — moving the
+    subtract after the matmul keeps the narrow (..., 3)-shaped centered
+    tensor from ever materializing (a measured 1.7-2x win on the SA-layer
+    gather+MLP chain, benchmarks/fused_sa_bench.py). Parameter names/shapes
+    match ``nn.Dense`` exactly, so checkpoints are interchangeable.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, g_raw: jnp.ndarray, center: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", KERNEL_INIT, (g_raw.shape[-1], self.features), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        g_raw, center, kernel, bias = nn.dtypes.promote_dtype(
+            g_raw, center, kernel, bias, dtype=self.dtype
+        )
+        h = g_raw @ kernel
+        corr = center @ kernel[:3]  # (B, M, features)
+        return h - corr[:, :, None, :] + bias
+
+
 class MLPStack(nn.Module):
     """Shared per-point MLP: Dense + BN + ReLU per width.
 
     ``final_activation=False`` leaves the last layer linear (the reference's
-    mlp2 stacks end with ``activation=None``, utils.py:153).
+    mlp2 stacks end with ``activation=None``, utils.py:153). When ``center``
+    is passed, the first layer is a :class:`CenteredDense` consuming the
+    *uncentered* grouped tensor (same math as centering first, post-matmul).
     """
 
     widths: Sequence[int]
@@ -47,10 +76,15 @@ class MLPStack(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, center: Optional[jnp.ndarray] = None):
         for i, w in enumerate(self.widths):
             last = i == len(self.widths) - 1
-            x = nn.Dense(w, dtype=self.dtype, kernel_init=KERNEL_INIT, name=f"dense{i}")(x)
+            if i == 0 and center is not None:
+                x = CenteredDense(w, dtype=self.dtype, name="dense0")(x, center)
+            else:
+                x = nn.Dense(
+                    w, dtype=self.dtype, kernel_init=KERNEL_INIT, name=f"dense{i}"
+                )(x)
             if self.final_activation or not last:
                 if self.use_bn:
                     x = nn.BatchNorm(
@@ -145,19 +179,45 @@ class PointNetSAModule(nn.Module):
         train: bool,
         sample_xyz: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        if self.group_all:
-            new_xyz, new_points, idx, grouped_xyz = sample_and_group_all(
-                xyz, points, self.use_xyz
-            )
-        else:
-            new_xyz, new_points, idx, grouped_xyz = sample_and_group(
-                self.npoint, self.radius, self.nsample, xyz, points,
-                self.knn, self.use_xyz, sample_xyz,
-            )
-
-        new_points = MLPStack(self.mlp, use_bn=self.use_bn, dtype=self.dtype, name="mlp")(
-            new_points, train
+        # Fused fast path: gather the *uncentered* [xyz ‖ feat] group and fold
+        # the center-subtract into the first MLP matmul (CenteredDense). Only
+        # the weighted_avg pooling needs the centered grouped_xyz explicitly.
+        fused = (
+            not self.group_all
+            and self.use_xyz
+            and self.pooling != "weighted_avg"
+            and len(self.mlp) > 0
         )
+        if fused:
+            fps_src = sample_xyz if sample_xyz is not None else xyz
+            new_xyz = ops.gather_point(
+                xyz, ops.farthest_point_sample(self.npoint, fps_src)
+            )
+            if self.knn:
+                _, idx = ops.knn_point(self.nsample, xyz, new_xyz)
+            else:
+                idx, _ = ops.query_ball_point(self.radius, self.nsample, xyz, new_xyz)
+            both = (
+                jnp.concatenate([xyz, points], axis=-1) if points is not None else xyz
+            )
+            g_raw = ops.group_point(both, idx)
+            new_points = MLPStack(
+                self.mlp, use_bn=self.use_bn, dtype=self.dtype, name="mlp"
+            )(g_raw, train, center=new_xyz)
+            grouped_xyz = None  # never materialized on this path
+        else:
+            if self.group_all:
+                new_xyz, new_points, idx, grouped_xyz = sample_and_group_all(
+                    xyz, points, self.use_xyz
+                )
+            else:
+                new_xyz, new_points, idx, grouped_xyz = sample_and_group(
+                    self.npoint, self.radius, self.nsample, xyz, points,
+                    self.knn, self.use_xyz, sample_xyz,
+                )
+            new_points = MLPStack(
+                self.mlp, use_bn=self.use_bn, dtype=self.dtype, name="mlp"
+            )(new_points, train)
 
         if self.pooling == "max":
             new_points = jnp.max(new_points, axis=2)
