@@ -131,8 +131,8 @@ def main():
     proposals = {k: ep[k] for k in ep if hasattr(ep[k], "dtype")}
 
     t_dec = chained_time(
-        lambda obj: predict_boxes({**proposals, "objectness_scores": obj}, cfg)["bboxes"],
-        proposals["objectness_scores"],
+        lambda out: predict_boxes({**proposals, "proposals_output": out}, cfg)["bboxes"],
+        proposals["proposals_output"],
     )
     print(f"decode+nms = {t_dec*1e3:6.2f}ms", flush=True)
     total += t_dec

@@ -238,6 +238,67 @@ def group_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return _group_point_gather(points, idx)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def query_ball_point_streaming(
+    radius: float,
+    nsample: int,
+    xyz1: jnp.ndarray,
+    xyz2: jnp.ndarray,
+    block: int = 4096,
+):
+    """Ball query for point counts too large for the (B, M, N) hit mask.
+
+    The "long-context" axis of this model is the point count (SURVEY §5): at
+    N >> 20480 the dense hierarchical query's (B, M, N) intermediates exceed
+    HBM comfort. This variant scans dataset blocks of ``block`` points in
+    ascending index order under a ``lax.scan`` — peak memory O(B·M·block) —
+    and merges each block's first-k hits into the running per-query state.
+    Because blocks are visited in index order and per-block hits come out in
+    index order, the merge preserves the reference's
+    first-``nsample``-in-index-order semantics exactly (tf_grouping_g.cu:
+    13-35), including the fill-with-first-hit rule and saturated counts.
+
+    Same signature/returns as :func:`query_ball_point` plus ``block``
+    (static). Exact-equality tested against the dense twin.
+    """
+    xyz1 = xyz1.astype(jnp.float32)
+    xyz2 = xyz2.astype(jnp.float32)
+    B, N, _ = xyz1.shape
+    M = xyz2.shape[1]
+    nb = -(-N // block)
+    if nb * block != N:
+        # pad with far-away points: never within radius of finite queries
+        xyz1 = jnp.pad(
+            xyz1, ((0, 0), (0, nb * block - N), (0, 0)), constant_values=1e9
+        )
+    blocks = xyz1.reshape(B, nb, block, 3).transpose(1, 0, 2, 3)  # (nb,B,blk,3)
+    s_iota = jnp.arange(nsample, dtype=jnp.int32)
+
+    def body(carry, args):
+        idx_st, cnt_st = carry  # (B,M,ns) int32, (B,M) int32
+        j, blk = args
+        bidx, bcnt = query_ball_point(radius, nsample, blk, xyz2)
+        # slots >= bcnt of bidx are fill values — masked off via counts below
+        take = jnp.minimum(nsample - cnt_st, bcnt)  # (B, M)
+        shift = jnp.clip(s_iota[None, None, :] - cnt_st[..., None], 0, nsample - 1)
+        shifted = jnp.take_along_axis(bidx, shift, axis=-1) + j * block
+        merged = jnp.where(s_iota[None, None, :] < cnt_st[..., None], idx_st, shifted)
+        new_cnt = cnt_st + take
+        return (merged, new_cnt), None
+
+    idx0 = jnp.zeros((B, M, nsample), jnp.int32)
+    cnt0 = jnp.zeros((B, M), jnp.int32)
+    (idx, cnt), _ = lax.scan(
+        body, (idx0, cnt0), (jnp.arange(nb, dtype=jnp.int32), blocks)
+    )
+    # reference padding semantics: slots past the last hit repeat the first
+    # hit; fully-empty balls -> index 0 (see query_ball_point docstring)
+    first_hit = idx[..., :1]
+    idx = jnp.where(s_iota[None, None, :] < cnt[..., None], idx, first_hit)
+    idx = jnp.where(cnt[..., None] > 0, idx, 0)
+    return lax.stop_gradient(idx), lax.stop_gradient(cnt)
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def select_top_k(k: int, dist: jnp.ndarray):
     """Partial selection sort of each row (reference tf_grouping.py:22-31).

@@ -44,7 +44,11 @@ def farthest_point_sample(npoint: int, xyz: jnp.ndarray) -> jnp.ndarray:
     """
     from votenet_tpu.ops.dispatch import use_pallas
 
-    if use_pallas():
+    # The Pallas kernel keeps 4 (8, N) f32 planes per grid instance in VMEM
+    # (~128*N bytes); beyond ~96k points that exceeds the 16 MB budget, so
+    # large point counts (SURVEY §5 "point-count scaling") fall back to the
+    # XLA twin, whose working set is O(B*N) in HBM at any N.
+    if use_pallas() and xyz.shape[1] <= 81920:
         from votenet_tpu.ops.pallas.fps import farthest_point_sample_pallas
 
         return farthest_point_sample_pallas(npoint, xyz)
