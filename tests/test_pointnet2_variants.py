@@ -93,3 +93,60 @@ class TestMSG:
         assert new_xyz.shape == (2, 16, 3)
         assert out.shape == (2, 16, 8 + 16)  # concat of per-scale widths
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestCenteredDenseFusion:
+    """The fused path (uncentered gather + CenteredDense) must match the
+    explicit composition (center first, then Dense) with identical params:
+    (g - pad(c)) @ W + b == g @ W - c @ W[:3] + b up to matmul rounding."""
+
+    def test_fused_matches_explicit(self, cloud):
+        from votenet_tpu import ops
+        from votenet_tpu.models.pointnet2 import CenteredDense, MLPStack
+
+        xyz, feats = cloud
+        mod = PointNetSAModule(npoint=16, radius=0.4, nsample=8, mlp=(24, 32))
+        variables = mod.init(jax.random.PRNGKey(0), xyz, feats, train=False)
+        new_xyz, fused_out, idx = mod.apply(variables, xyz, feats, train=False)
+
+        # explicit composition with the same parameters
+        new_xyz2, centered, idx2, _ = sample_and_group(
+            16, 0.4, 8, xyz, feats, knn=False, use_xyz=True
+        )
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx2))
+        explicit = MLPStack((24, 32), name="mlp").apply(
+            {"params": variables["params"]["mlp"],
+             "batch_stats": variables["batch_stats"]["mlp"]},
+            centered, train=False,
+        )
+        explicit = jnp.max(explicit, axis=2)
+        np.testing.assert_allclose(
+            np.asarray(fused_out), np.asarray(explicit), rtol=2e-2, atol=2e-3
+        )
+
+    def test_centered_dense_algebra(self):
+        from votenet_tpu.models.pointnet2 import CenteredDense
+
+        r = np.random.RandomState(1)
+        g = jnp.asarray(r.randn(2, 4, 8, 19), jnp.float32)
+        c = jnp.asarray(r.randn(2, 4, 3), jnp.float32)
+        cd = CenteredDense(7)
+        variables = cd.init(jax.random.PRNGKey(0), g, c)
+        got = cd.apply(variables, g, c)
+        W = variables["params"]["kernel"]
+        b = variables["params"]["bias"]
+        centered = g.at[..., :3].add(-c[:, :, None, :])
+        want = centered @ W + b
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_param_tree_unchanged(self, cloud):
+        # checkpoints from the explicit path must load into the fused path:
+        # same param names and shapes at mlp/dense0
+        xyz, feats = cloud
+        mod = PointNetSAModule(npoint=16, radius=0.4, nsample=8, mlp=(24,))
+        variables = mod.init(jax.random.PRNGKey(0), xyz, feats, train=False)
+        d0 = variables["params"]["mlp"]["dense0"]
+        assert set(d0.keys()) == {"kernel", "bias"}
+        assert d0["kernel"].shape == (19, 24)
+        assert d0["bias"].shape == (24,)
