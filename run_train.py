@@ -84,9 +84,15 @@ def main():
 
         val_iter = lambda: [(int(s["data_idx"]), s["points"]) for s in val_scenes]
     else:
+        from votenet_tpu.parallel.mesh import host_local_slice
+
+        # multi-host pods: each process reads only its slice of the train
+        # split (per-host input pipeline over DCN, SURVEY §2.3); identity on
+        # a single host
         train_flow = SunRGBDDataFlow(
             cfg.data_root, "training", training=True, config=cfg,
-            idx_list=list(range(*cfg.train_idx_range)), cache_dir=args.cache_dir,
+            idx_list=host_local_slice(list(range(*cfg.train_idx_range))),
+            cache_dir=args.cache_dir,
         )
         val_flow = SunRGBDDataFlow(
             cfg.data_root, "training", training=False, config=cfg,
