@@ -17,6 +17,18 @@ class TestPallasFPS:
         want = oracles.fps_oracle(m, xyz)
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.parametrize(
+        "B,N,m", [(2, 128, 32), (3, 300, 64), (8, 512, 128), (1, 64, 1), (1, 2000, 300), (5, 1111, 97)]
+    )
+    def test_rowwise_matches_oracle(self, rng, B, N, m):
+        """Row-wise fold (points over sublanes x lanes, grid over batch)."""
+        from votenet_tpu.ops.pallas.fps import farthest_point_sample_pallas_rowwise
+
+        xyz = rng.randn(B, N, 3).astype(np.float32)
+        got = np.asarray(farthest_point_sample_pallas_rowwise(m, xyz, interpret=True))
+        want = oracles.fps_oracle(m, xyz)
+        np.testing.assert_array_equal(got, want)
+
     def test_matches_xla_twin(self, rng):
         from votenet_tpu.ops.pallas.fps import farthest_point_sample_pallas
         from votenet_tpu.ops.sampling import farthest_point_sample_xla

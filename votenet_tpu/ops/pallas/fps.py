@@ -26,6 +26,10 @@ from jax.experimental.pallas import tpu as pltpu
 _SUBLANES = 8
 _LANES = 128
 
+# Largest batch routed to the row-wise kernel by the dispatcher (sampling.py).
+# Below this the batched kernel idles sublanes; measured crossover on v5e.
+ROWWISE_MAX_B = 4
+
 
 def _fps_kernel(npoint: int, n_valid: int, x_ref, y_ref, z_ref, o_ref, mind_ref):
     Bb, Np = x_ref.shape
@@ -57,6 +61,103 @@ def _fps_kernel(npoint: int, n_valid: int, x_ref, y_ref, z_ref, o_ref, mind_ref)
 
     if npoint > 1:
         lax.fori_loop(1, npoint, body, jnp.zeros((Bb, 1), jnp.int32))
+
+
+def _fps_rowwise_kernel(
+    npoint: int, n_valid: int, x_ref, y_ref, z_ref, o_ref, mind_ref, fidx_ref, sel_ref
+):
+    """One batch row per grid program; points folded over (sublanes, lanes).
+
+    The fold keeps all 8 sublanes busy at any batch size (the batched kernel
+    above idles 7/8 of the VPU at B=1) and makes every reduction scalar-
+    valued, so the selected index can round-trip through SMEM and the next
+    center's coordinates come from one dynamic-sublane load + a (1, L)
+    select instead of three masked full-row sums.
+    """
+    S, L = mind_ref.shape
+    sub = lax.broadcasted_iota(jnp.int32, (S, L), 0)
+    lanes = lax.broadcasted_iota(jnp.int32, (S, L), 1)
+    fidx_ref[:] = sub * L + lanes  # flat point index, cached across steps
+    # padded slots can never win the argmax (real slots have mindist >= 0)
+    mind_ref[:] = jnp.where(fidx_ref[:] < n_valid, jnp.float32(1e38), jnp.float32(-1.0))
+    o_ref[:] = jnp.zeros_like(o_ref)  # slot 0 = seed index 0
+    sel_ref[0, 0] = jnp.int32(0)
+
+    So, Lo = o_ref.shape[1], o_ref.shape[2]
+    out_flat = (
+        lax.broadcasted_iota(jnp.int32, (1, So, Lo), 1) * Lo
+        + lax.broadcasted_iota(jnp.int32, (1, So, Lo), 2)
+    )
+    lane1 = lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    sentinel = jnp.int32(S * L)
+
+    def body(j, _):
+        last = sel_ref[0, 0]
+        r, c = last // L, last % L
+        csel = lane1 == c
+        x1 = jnp.sum(jnp.where(csel, x_ref[0, pl.ds(r, 1), :], 0.0))
+        y1 = jnp.sum(jnp.where(csel, y_ref[0, pl.ds(r, 1), :], 0.0))
+        z1 = jnp.sum(jnp.where(csel, z_ref[0, pl.ds(r, 1), :], 0.0))
+        dx = x_ref[0] - x1
+        dy = y_ref[0] - y1
+        dz = z_ref[0] - z1
+        d = dx * dx + dy * dy + dz * dz
+        md = jnp.minimum(mind_ref[:], d)
+        mind_ref[:] = md
+        best = jnp.max(md)
+        # first-index tie-break, exactly as the batched kernel / XLA twin
+        nxt = jnp.min(jnp.where(md == best, fidx_ref[:], sentinel))
+        sel_ref[0, 0] = nxt
+        o_ref[:] = jnp.where(out_flat == j, nxt, o_ref[:])
+        return 0
+
+    if npoint > 1:
+        lax.fori_loop(1, npoint, body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def farthest_point_sample_pallas_rowwise(
+    npoint: int, xyz: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Row-wise Pallas FPS: (B, N, 3) -> (B, npoint) int32; seed index 0.
+
+    Identical semantics to :func:`farthest_point_sample_pallas` (same f32
+    distance arithmetic, exact max/min reductions, lowest-index ties) in a
+    per-batch-row layout that stays fully vectorized at small B — the
+    serving-latency case (reference equivalent: single-scene inference,
+    tf_sampling_g.cu:105-170 with one block per batch row).
+    """
+    xyz = xyz.astype(jnp.float32)
+    B, N, _ = xyz.shape
+
+    S = -(-N // _LANES)
+    S = -(-S // _SUBLANES) * _SUBLANES  # sublane-fold, padded to full tiles
+    Np = S * _LANES
+    So = -(-npoint // _LANES)
+    npad = So * _LANES
+
+    planes = jnp.transpose(xyz, (2, 0, 1))  # (3, B, N)
+    planes = jnp.pad(planes, ((0, 0), (0, 0), (0, Np - N)))
+    planes = planes.reshape(3, B, S, _LANES)
+    x, y, z = planes[0], planes[1], planes[2]
+
+    bspec = pl.BlockSpec((1, S, _LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fps_rowwise_kernel, npoint, N),
+        grid=(B,),
+        in_specs=[bspec, bspec, bspec],
+        out_specs=pl.BlockSpec(
+            (1, So, _LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, So, _LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((S, _LANES), jnp.float32),
+            pltpu.VMEM((S, _LANES), jnp.int32),
+            pltpu.SMEM((1, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x, y, z)
+    return lax.stop_gradient(out.reshape(B, npad)[:, :npoint])
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))

@@ -49,8 +49,17 @@ def farthest_point_sample(npoint: int, xyz: jnp.ndarray) -> jnp.ndarray:
     # large point counts (SURVEY §5 "point-count scaling") fall back to the
     # XLA twin, whose working set is O(B*N) in HBM at any N.
     if use_pallas() and xyz.shape[1] <= 81920:
-        from votenet_tpu.ops.pallas.fps import farthest_point_sample_pallas
+        from votenet_tpu.ops.pallas.fps import (
+            ROWWISE_MAX_B,
+            farthest_point_sample_pallas,
+            farthest_point_sample_pallas_rowwise,
+        )
 
+        # Small batches underfill the batched kernel's sublanes (B of 8 busy
+        # rows); the row-wise fold keeps the VPU dense — the serving-latency
+        # case. Identical semantics either way.
+        if xyz.shape[0] <= ROWWISE_MAX_B:
+            return farthest_point_sample_pallas_rowwise(npoint, xyz)
         return farthest_point_sample_pallas(npoint, xyz)
     return farthest_point_sample_xla(npoint, xyz)
 
