@@ -71,3 +71,51 @@ class TestStreamingBallQuery:
         si, sc = _stream(0.2, 32, xyz1, xyz2, 8192)
         np.testing.assert_array_equal(sc, dc)
         np.testing.assert_array_equal(si, di)
+
+
+class TestStreamingThreeNN:
+    @pytest.mark.parametrize("block", [128, 384, 1024])
+    def test_matches_dense(self, rng, block):
+        from votenet_tpu.ops import three_nn_dense, three_nn_streaming
+
+        xyz1 = rng.uniform(-3, 3, (2, 1000, 3)).astype(np.float32)
+        xyz2 = rng.uniform(-3, 3, (2, 64, 3)).astype(np.float32)
+        dd, di = three_nn_dense(jnp.asarray(xyz1), jnp.asarray(xyz2))
+        sd, si = three_nn_streaming(jnp.asarray(xyz1), jnp.asarray(xyz2), block)
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
+        np.testing.assert_array_equal(np.asarray(sd), np.asarray(dd))
+
+    def test_duplicate_source_ties(self, rng):
+        # equal-distance neighbors must come out in index order in every slab
+        from votenet_tpu.ops import three_nn_dense, three_nn_streaming
+
+        xyz2 = np.repeat(rng.uniform(-1, 1, (1, 8, 3)), 3, axis=1).astype(np.float32)
+        xyz1 = rng.uniform(-1, 1, (1, 300, 3)).astype(np.float32)
+        dd, di = three_nn_dense(jnp.asarray(xyz1), jnp.asarray(xyz2))
+        sd, si = three_nn_streaming(jnp.asarray(xyz1), jnp.asarray(xyz2), 128)
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
+        np.testing.assert_array_equal(np.asarray(sd), np.asarray(dd))
+
+
+class TestLargeNDispatch:
+    def test_ball_query_routes_streaming(self, rng, monkeypatch):
+        import votenet_tpu.ops.grouping as G
+
+        xyz1 = rng.uniform(-3, 3, (1, 700, 3)).astype(np.float32)
+        xyz2 = xyz1[:, :16]
+        di, dc = G.query_ball_point_dense(0.5, 8, jnp.asarray(xyz1), jnp.asarray(xyz2))
+        monkeypatch.setattr(G, "STREAM_N_THRESHOLD", 512)
+        si, sc = G.query_ball_point(0.5, 8, jnp.asarray(xyz1), jnp.asarray(xyz2))
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
+        np.testing.assert_array_equal(np.asarray(sc), np.asarray(dc))
+
+    def test_three_nn_routes_streaming(self, rng, monkeypatch):
+        import votenet_tpu.ops.interpolate as I
+
+        xyz1 = rng.uniform(-3, 3, (1, 700, 3)).astype(np.float32)
+        xyz2 = rng.uniform(-3, 3, (1, 32, 3)).astype(np.float32)
+        dd, di = I.three_nn_dense(jnp.asarray(xyz1), jnp.asarray(xyz2))
+        monkeypatch.setattr(I, "STREAM_N_THRESHOLD", 512)
+        sd, si = I.three_nn(jnp.asarray(xyz1), jnp.asarray(xyz2))
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
+        np.testing.assert_array_equal(np.asarray(sd), np.asarray(dd))

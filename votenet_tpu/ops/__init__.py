@@ -28,20 +28,26 @@ from votenet_tpu.ops.dispatch import pallas_disabled, set_use_pallas, use_pallas
 from votenet_tpu.ops.sampling import farthest_point_sample, gather_point, prob_sample
 from votenet_tpu.ops.grouping import (
     query_ball_point,
+    query_ball_point_dense,
     query_ball_point_streaming,
     group_point,
     knn_point,
     select_top_k,
 )
-from votenet_tpu.ops.interpolate import three_nn, three_interpolate
+from votenet_tpu.ops.interpolate import (
+    three_nn,
+    three_nn_dense,
+    three_nn_streaming,
+    three_interpolate,
+)
 from votenet_tpu.ops.iou3d import box3d_iou_pairwise, box3d_iou_matrix
 from votenet_tpu.ops.nms3d import nms3d, nms3d_indices
 
 __all__ = [
     "farthest_point_sample", "gather_point", "prob_sample",
-    "query_ball_point", "query_ball_point_streaming",
+    "query_ball_point", "query_ball_point_dense", "query_ball_point_streaming",
     "group_point", "knn_point", "select_top_k",
-    "three_nn", "three_interpolate",
+    "three_nn", "three_nn_dense", "three_nn_streaming", "three_interpolate",
     "box3d_iou_pairwise", "box3d_iou_matrix",
     "nms3d", "nms3d_indices",
     "use_pallas", "set_use_pallas", "pallas_disabled",

@@ -56,9 +56,26 @@ def query_ball_point_topk(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2: 
 
 _BQ_CHUNK = 128  # lane-width chunks for the hierarchical search
 
+# Dataset sizes above this stream in blocks (query_ball_point_streaming):
+# the dense path's (B, M, N) hit/distance intermediates are the O(N) memory
+# (SURVEY §5 point-count scaling); same bound as the FPS large-N gate.
+STREAM_N_THRESHOLD = 81920
+
+
+def query_ball_point(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2: jnp.ndarray):
+    """Fixed-radius neighborhood query (backend/size-dispatched).
+
+    Routes to :func:`query_ball_point_streaming` above ``STREAM_N_THRESHOLD``
+    dataset points, else the dense hierarchical query. Identical semantics
+    either way (exact-equality tested).
+    """
+    if xyz1.shape[1] > STREAM_N_THRESHOLD:
+        return query_ball_point_streaming(radius, nsample, xyz1, xyz2)
+    return query_ball_point_dense(radius, nsample, xyz1, xyz2)
+
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def query_ball_point(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2: jnp.ndarray):
+def query_ball_point_dense(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2: jnp.ndarray):
     """Fixed-radius neighborhood query (hierarchical, TPU-fast).
 
     Args:
@@ -277,7 +294,7 @@ def query_ball_point_streaming(
     def body(carry, args):
         idx_st, cnt_st = carry  # (B,M,ns) int32, (B,M) int32
         j, blk = args
-        bidx, bcnt = query_ball_point(radius, nsample, blk, xyz2)
+        bidx, bcnt = query_ball_point_dense(radius, nsample, blk, xyz2)
         # slots >= bcnt of bidx are fill values — masked off via counts below
         take = jnp.minimum(nsample - cnt_st, bcnt)  # (B, M)
         shift = jnp.clip(s_iota[None, None, :] - cnt_st[..., None], 0, nsample - 1)

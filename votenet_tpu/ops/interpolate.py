@@ -19,20 +19,38 @@ Semantics matched:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from votenet_tpu.ops.common import pairwise_sqdist
 
+# Query counts above this stream in blocks: the dense (B, N, M) distance
+# matrix is the only O(N) intermediate here (SURVEY §5 point-count scaling);
+# same bound as the FPS/ball-query large-N gates.
+STREAM_N_THRESHOLD = 81920
 
-@jax.jit
+
 def three_nn(xyz1: jnp.ndarray, xyz2: jnp.ndarray):
     """3 nearest neighbors of each xyz1 point among xyz2 points.
 
     xyz1: (B, N, 3) query points; xyz2: (B, M, 3) source points.
     Returns (dist2, idx) each (B, N, 3): squared distances ascending, int32
     indices into M. Both stop-gradiented (see module docstring).
+
+    Dispatches to :func:`three_nn_streaming` above ``STREAM_N_THRESHOLD``
+    query points (identical results — query rows are independent).
+    """
+    if xyz1.shape[1] > STREAM_N_THRESHOLD:
+        return three_nn_streaming(xyz1, xyz2)
+    return three_nn_dense(xyz1, xyz2)
+
+
+@jax.jit
+def three_nn_dense(xyz1: jnp.ndarray, xyz2: jnp.ndarray):
+    """Dense three_nn over the full (B, N, M) distance matrix.
 
     Three masked argmin passes instead of ``lax.top_k`` (which lowers to a
     full sort on TPU — the sort was ~5ms at fp2 size vs ~1ms for the passes).
@@ -52,6 +70,30 @@ def three_nn(xyz1: jnp.ndarray, xyz2: jnp.ndarray):
     dist2 = jnp.stack(dists, axis=-1)
     idx = jnp.stack(idxs, axis=-1)
     return lax.stop_gradient(dist2), lax.stop_gradient(idx)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def three_nn_streaming(xyz1: jnp.ndarray, xyz2: jnp.ndarray, block: int = 8192):
+    """three_nn for query counts too large for the (B, N, M) matrix.
+
+    Scans ``block``-sized query slabs under a ``lax.scan`` — peak memory
+    O(B·block·M) — and concatenates. Each query row is independent, so the
+    result is exactly equal to the dense twin (tested). ``block`` is static.
+    """
+    B, N, _ = xyz1.shape
+    nb = -(-N // block)
+    xp = xyz1
+    if nb * block != N:
+        xp = jnp.pad(xyz1, ((0, 0), (0, nb * block - N), (0, 0)))
+    slabs = xp.reshape(B, nb, block, 3).transpose(1, 0, 2, 3)  # (nb,B,blk,3)
+
+    def body(_, blk):
+        return None, three_nn_dense(blk, xyz2)
+
+    _, (d2, idx) = lax.scan(body, None, slabs)  # (nb, B, blk, 3) each
+    d2 = d2.transpose(1, 0, 2, 3).reshape(B, nb * block, 3)[:, :N]
+    idx = idx.transpose(1, 0, 2, 3).reshape(B, nb * block, 3)[:, :N]
+    return d2, idx
 
 
 def three_interpolate(points: jnp.ndarray, idx: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
