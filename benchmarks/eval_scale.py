@@ -1,0 +1,55 @@
+"""Full-scale eval wall-clock: 5050 scenes (the reference val-split size).
+
+Measures the complete Evaluator pass — batched TPU inference + host-side
+AP matching (native C++ greedy matcher) — at the reference's val-split
+scale (run.py:99: val = ids 1-5050), on synthetic scenes.
+
+  python benchmarks/eval_scale.py [n_scenes]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(n: int = 5050):
+    import jax
+
+    from votenet_tpu.config import default_config
+    from votenet_tpu.data.synthetic import synthetic_gt_all, synthetic_scenes
+    from votenet_tpu.eval.evaluator import Evaluator, make_predict_fn
+    from votenet_tpu.models.votenet import VoteNet
+
+    cfg = default_config()
+    t0 = time.perf_counter()
+    scenes = synthetic_scenes(7, cfg, n)
+    gt_all = synthetic_gt_all(scenes)
+    scene_iter = [(int(s["data_idx"]), s["points"]) for s in scenes]
+    print(f"generated {n} scenes in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    model = VoteNet(cfg)
+    pts0 = np.zeros((1, cfg.point_num, 3), np.float32)
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(
+        jax.random.PRNGKey(0), pts0
+    )
+    predict = make_predict_fn(model, variables, cfg)
+    ev = Evaluator(cfg, gt_all, batch_size=8)
+
+    # warmup compile on a small slice so the timing is the eval, not XLA
+    ev.evaluate(predict, scene_iter[:8])
+
+    t0 = time.perf_counter()
+    result = ev.evaluate(predict, scene_iter)
+    dt = time.perf_counter() - t0
+    print(f"evaluated {n} scenes in {dt:.1f}s ({n / dt:.1f} scenes/s) "
+          f"mAP={result['mAP']:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 5050)
