@@ -72,3 +72,29 @@ class TestDispatchGate:
         except Exception:
             pass  # param init may be heavy; the gate call happens first
         assert seen and seen[0] is False
+
+    def test_small_batch_routes_rowwise(self, monkeypatch):
+        """With (fake) Pallas enabled, B <= ROWWISE_MAX_B must route to the
+        row-wise kernel and larger batches to the batched kernel."""
+        import votenet_tpu.ops.sampling as sampling
+        from votenet_tpu.ops.pallas import fps as fps_mod
+
+        monkeypatch.setattr(ops_pallas, "tpu_available", lambda: True)
+        dispatch.set_use_pallas(True)
+        calls = []
+        monkeypatch.setattr(
+            fps_mod, "farthest_point_sample_pallas_rowwise",
+            lambda m, x: calls.append("rowwise") or farthest_point_sample_xla(m, x),
+        )
+        monkeypatch.setattr(
+            fps_mod, "farthest_point_sample_pallas",
+            lambda m, x: calls.append("batched") or farthest_point_sample_xla(m, x),
+        )
+        try:
+            small = jnp.zeros((fps_mod.ROWWISE_MAX_B, 64, 3), jnp.float32)
+            big = jnp.zeros((fps_mod.ROWWISE_MAX_B + 1, 64, 3), jnp.float32)
+            farthest_point_sample(8, small)
+            farthest_point_sample(8, big)
+            assert calls == ["rowwise", "batched"]
+        finally:
+            dispatch.set_use_pallas(True)
