@@ -27,8 +27,10 @@ _SUBLANES = 8
 _LANES = 128
 
 # Largest batch routed to the row-wise kernel by the dispatcher (sampling.py).
-# Below this the batched kernel idles sublanes; measured crossover on v5e.
-ROWWISE_MAX_B = 4
+# Below this the batched kernel idles sublanes. Measured crossover on v5e
+# (benchmarks/fps_crossover.py, 20480->2048): B=1 4.44/2.68 ms, B=2
+# 4.50/3.66, B=4 5.01/5.85 (batched/rowwise) -> rowwise wins through B=2.
+ROWWISE_MAX_B = 2
 
 
 def _fps_kernel(npoint: int, n_valid: int, x_ref, y_ref, z_ref, o_ref, mind_ref):
