@@ -35,9 +35,11 @@ class Evaluator:
         gt_all: Dict,
         ovthresh: float = 0.25,
         batch_size: int = 8,
+        pipeline_depth: int = 4,
     ):
         self.config = config
         self.gt_all = gt_all
+        self.pipeline_depth = pipeline_depth
         self.ovthresh = ovthresh
         self.batch_size = batch_size
 
@@ -46,28 +48,51 @@ class Evaluator:
         predict_fn: Callable[[np.ndarray], Dict[str, np.ndarray]],
         scenes: Iterable[Tuple[int, np.ndarray]],
     ) -> Dict[int, List[Tuple[str, np.ndarray, float]]]:
-        """Run batched inference; returns {img_id: [(classname, bbox, score)]}."""
+        """Run batched inference; returns {img_id: [(classname, bbox, score)]}.
+
+        Batches are kept in flight (JAX async dispatch) up to
+        ``self.pipeline_depth`` deep, so device compute, device->host result
+        fetches and host-side decoding of earlier batches overlap — at the
+        5050-scene reference val-split scale the serial fetch-then-decode
+        loop was host-bound, not device-bound (benchmarks/eval_scale.py).
+        """
+        from collections import deque
+
         scenes = list(scenes)
         pred_all: Dict[int, List] = {}
         B = self.batch_size
+        pending: deque = deque()
+
+        def drain(n_keep: int):
+            while len(pending) > n_keep:
+                chunk, n_real, out = pending.popleft()
+                bboxes = np.asarray(out["bboxes"])
+                class_scores = np.asarray(out["class_scores"])
+                keep = np.asarray(out["keep"])
+                cls_idx = np.argmax(class_scores, axis=-1)  # (B, P)
+                best = np.take_along_axis(
+                    class_scores, cls_idx[..., None], axis=-1
+                )[..., 0]
+                for bi in range(n_real):
+                    img_id = chunk[bi][0]
+                    dets = []
+                    for pi in np.nonzero(keep[bi])[0]:
+                        dets.append((
+                            CLASS2TYPE[int(cls_idx[bi, pi])],
+                            bboxes[bi, pi],
+                            float(best[bi, pi]),
+                        ))
+                    pred_all[img_id] = dets
+
         for start in range(0, len(scenes), B):
             chunk = scenes[start : start + B]
             n_real = len(chunk)
             while len(chunk) < B:  # pad last batch by repeating
                 chunk.append(chunk[-1])
             points = np.stack([c[1] for c in chunk]).astype(np.float32)
-            out = predict_fn(points)
-            bboxes = np.asarray(out["bboxes"])
-            class_scores = np.asarray(out["class_scores"])
-            keep = np.asarray(out["keep"])
-            for bi in range(n_real):
-                img_id = chunk[bi][0]
-                dets = []
-                for pi in np.nonzero(keep[bi])[0]:
-                    cls_idx = int(np.argmax(class_scores[bi, pi]))
-                    score = float(class_scores[bi, pi, cls_idx])
-                    dets.append((CLASS2TYPE[cls_idx], bboxes[bi, pi], score))
-                pred_all[img_id] = dets
+            pending.append((chunk, n_real, predict_fn(points)))
+            drain(self.pipeline_depth)
+        drain(0)
         return pred_all
 
     def evaluate(
