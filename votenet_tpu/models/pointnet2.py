@@ -232,6 +232,10 @@ class PointNetSAModule(nn.Module):
             # (xyz carries no gradient) — measured 20% slower train step.
             # Both orders are bitwise-identical forward (dense is per-point
             # linear), so the switch cannot change numerics.
+            # (project-first at sa2+ only in training also measured ~96
+            # scenes/s — the backward cost is not sa1-specific: the dW
+            # chain serializes behind the dh scatter — so training is
+            # gather-first at every layer)
             if train:
                 g_raw = ops.group_point(both, idx)
                 new_points = MLPStack(
