@@ -41,12 +41,12 @@ def run_one(dtype: str, steps: int):
 
     curve = {}
     k = 0
-    t0 = None
+    t0, t0_step = time.perf_counter(), 0  # fallback clock for steps < 10
     while k < steps:
         for batch in batches:
             state, metrics = step(state, batch)
             k += 1
-            if k == 10:  # start the clock after warmup/compile
+            if k == 10:  # restart the clock after warmup/compile
                 np.asarray(metrics["total_cost"])
                 t0 = time.perf_counter()
                 t0_step = k

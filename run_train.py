@@ -89,9 +89,10 @@ def main():
         # multi-host pods: each process reads only its slice of the train
         # split (per-host input pipeline over DCN, SURVEY §2.3); identity on
         # a single host
+        local_train_idx = host_local_slice(list(range(*cfg.train_idx_range)))
         train_flow = SunRGBDDataFlow(
             cfg.data_root, "training", training=True, config=cfg,
-            idx_list=host_local_slice(list(range(*cfg.train_idx_range))),
+            idx_list=local_train_idx,
             cache_dir=args.cache_dir,
         )
         val_flow = SunRGBDDataFlow(
@@ -116,9 +117,11 @@ def main():
         gt_all = gt_dict_from_labels({int(i): s for i, s in val_cache})
         val_iter = lambda: [(int(i), s["points"]) for i, s in val_cache]
 
-    steps_per_epoch = max(
-        (args.synthetic or 5285) // cfg.batch_size, 1
-    )
+    # LR-schedule epoch boundaries must track what the Trainer counts as an
+    # epoch: one exhaustion of the (per-process) train flow. With sliced
+    # multi-host input each process sees len(local_train_idx) scenes/epoch.
+    n_epoch_scenes = args.synthetic if args.synthetic else len(local_train_idx)
+    steps_per_epoch = max(n_epoch_scenes // cfg.batch_size, 1)
     state = create_train_state(jax.random.PRNGKey(0), cfg, steps_per_epoch)
     model = VoteNet(cfg)
     evaluator = Evaluator(cfg, gt_all, batch_size=max(cfg.batch_size, 4))

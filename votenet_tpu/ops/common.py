@@ -4,6 +4,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+# Single large-N gate shared by FPS, ball query and three_nn (SURVEY §5
+# point-count scaling): above this the dense paths' O(N) working sets
+# (Pallas VMEM planes for FPS, (B,M,N)/(B,N,M) HBM intermediates for the
+# queries) stop being comfortable on v5e, and the ops switch to their
+# streaming/XLA fallbacks. Retune in ONE place for new TPU generations.
+LARGE_N_THRESHOLD = 81920
+
 
 def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Exact squared euclidean distances between two point sets.

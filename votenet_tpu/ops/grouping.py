@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from votenet_tpu.ops import common
 from votenet_tpu.ops.common import pairwise_sqdist, pairwise_sqdist_mm
 
 
@@ -57,9 +58,9 @@ def query_ball_point_topk(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2: 
 _BQ_CHUNK = 128  # lane-width chunks for the hierarchical search
 
 # Dataset sizes above this stream in blocks (query_ball_point_streaming):
-# the dense path's (B, M, N) hit/distance intermediates are the O(N) memory
-# (SURVEY §5 point-count scaling); same bound as the FPS large-N gate.
-STREAM_N_THRESHOLD = 81920
+# the dense path's (B, M, N) hit/distance intermediates are the O(N) memory.
+# One shared gate with FPS/three_nn — see ops/common.py.
+STREAM_N_THRESHOLD = common.LARGE_N_THRESHOLD
 
 
 def query_ball_point(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2: jnp.ndarray):

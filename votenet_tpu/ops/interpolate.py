@@ -25,12 +25,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from votenet_tpu.ops.common import pairwise_sqdist
+from votenet_tpu.ops.common import LARGE_N_THRESHOLD, pairwise_sqdist
 
 # Query counts above this stream in blocks: the dense (B, N, M) distance
-# matrix is the only O(N) intermediate here (SURVEY §5 point-count scaling);
-# same bound as the FPS/ball-query large-N gates.
-STREAM_N_THRESHOLD = 81920
+# matrix is the only O(N) intermediate here. One shared gate with
+# FPS/ball-query — see ops/common.py.
+STREAM_N_THRESHOLD = LARGE_N_THRESHOLD
 
 
 def three_nn(xyz1: jnp.ndarray, xyz2: jnp.ndarray):

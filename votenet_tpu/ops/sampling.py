@@ -42,13 +42,15 @@ def farthest_point_sample(npoint: int, xyz: jnp.ndarray) -> jnp.ndarray:
       (B, npoint) int32 indices into N. First index is always 0 (the
       reference seeds FPS at index 0, tf_sampling_g.cu:114-116).
     """
+    from votenet_tpu.ops.common import LARGE_N_THRESHOLD
     from votenet_tpu.ops.dispatch import use_pallas
 
-    # The Pallas kernel keeps 4 (8, N) f32 planes per grid instance in VMEM
-    # (~128*N bytes); beyond ~96k points that exceeds the 16 MB budget, so
-    # large point counts (SURVEY §5 "point-count scaling") fall back to the
-    # XLA twin, whose working set is O(B*N) in HBM at any N.
-    if use_pallas() and xyz.shape[1] <= 81920:
+    # The Pallas kernels keep the (N-sized) coordinate planes + min-dist
+    # cache in VMEM; beyond the shared large-N gate (ops/common.py) that
+    # exceeds the 16 MB budget, so large point counts (SURVEY §5
+    # "point-count scaling") fall back to the XLA twin, whose working set
+    # is O(B*N) in HBM at any N.
+    if use_pallas() and xyz.shape[1] <= LARGE_N_THRESHOLD:
         from votenet_tpu.ops.pallas.fps import (
             ROWWISE_MAX_B,
             farthest_point_sample_pallas,
