@@ -161,6 +161,9 @@ def config_from_args(
             parser.add_argument(
                 f"--{field.name}", type=type(field.default), default=default
             )
-    args, _ = parser.parse_known_args(argv)
+    # strict: a misspelled override (--use_palas=...) must error, not be
+    # silently dropped — callers pass exactly the leftover argv that is
+    # supposed to consist of Config overrides
+    args = parser.parse_args(argv)
     known = {f.name for f in dataclasses.fields(Config)}
     return base.replace(**{k: v for k, v in vars(args).items() if k in known})

@@ -202,7 +202,15 @@ class SunRGBDDataFlow:
         return len(self.dataset)
 
     def _cache_path(self, idx: int, augment: int) -> str:
-        return os.path.join(self.cache_dir, f"data{idx}_{augment}.pkl")
+        # the cache key must include every config knob that changes the
+        # processed scene — otherwise flipping e.g. --reject_mode silently
+        # replays stale pickles (the reference cache had no knobs at all,
+        # dataset.py:177-214)
+        cfg_key = (
+            f"p{self.config.point_num}_h{self.config.num_heading_bin}_"
+            f"{self.config.reject_mode}"
+        )
+        return os.path.join(self.cache_dir, f"data{idx}_{augment}_{cfg_key}.pkl")
 
     def _pick_augment(self, idx: int) -> int:
         """Fill uncached augmentation slots first (dataset.py:192-204)."""

@@ -245,13 +245,14 @@ def group_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather grouped features: (B, N, C), (B, M, S) -> (B, M, S, C).
 
     Differentiable w.r.t. ``points``. On TPU the VJP is the MXU one-hot
-    segment-sum (:func:`scatter_add_mxu`); elsewhere it is XLA's native
-    scatter-add (fast on CPU). Both are deterministic, replacing the
-    reference's atomicAdd scatter (tf_grouping_g.cu:61-78).
+    segment-sum (:func:`scatter_add_mxu`); elsewhere — or with the dispatch
+    gate off (``use_pallas()`` False, the hand-optimized-twins escape
+    hatch) — it is XLA's native scatter-add. Both are deterministic,
+    replacing the reference's atomicAdd scatter (tf_grouping_g.cu:61-78).
     """
-    from votenet_tpu.ops.pallas import tpu_available
+    from votenet_tpu.ops.dispatch import use_pallas
 
-    if tpu_available():
+    if use_pallas():
         return _group_point_tpu(points.shape[1], points, idx)
     return _group_point_gather(points, idx)
 

@@ -30,11 +30,20 @@ def make_mesh(
         shape = (len(devices),) + (1,) * (len(axis_names) - 1)
     shape = tuple(int(s) for s in shape)
     if -1 in shape:
-        assert shape.count(-1) == 1, f"at most one -1 in mesh shape {shape}"
+        if shape.count(-1) != 1:
+            raise ValueError(f"at most one -1 in mesh shape {shape}")
         known = int(np.prod([s for s in shape if s != -1]))
+        if len(devices) % known != 0:
+            # floor division here would silently train on a subset of the
+            # pod — make the remainder explicit instead
+            raise ValueError(
+                f"mesh shape {shape}: {len(devices)} devices not divisible "
+                f"by {known}; pass an explicit shape to use a device subset"
+            )
         shape = tuple(len(devices) // known if s == -1 else s for s in shape)
     n = int(np.prod(shape))
-    assert 0 < n <= len(devices), f"mesh {shape} needs {n} devices, have {len(devices)}"
+    if not 0 < n <= len(devices):
+        raise ValueError(f"mesh {shape} needs {n} devices, have {len(devices)}")
     return Mesh(devices[:n].reshape(shape), axis_names=tuple(axis_names))
 
 

@@ -19,7 +19,17 @@ from votenet_tpu.data.geometry import CLASS2TYPE
 
 
 class VoteNetPredictor:
-    """Checkpoint -> callable detector."""
+    """Checkpoint -> callable detector.
+
+    Note: ``config.use_pallas`` is applied through the PROCESS-GLOBAL
+    dispatch gate (``ops.dispatch.set_use_pallas``) and ops consult it at
+    trace time only. Constructing predictors with conflicting
+    ``use_pallas`` values in one process leaves the gate at the last
+    constructor's value for any *new* shape traced afterwards; already-
+    traced shapes keep the executable they compiled with. Both
+    implementations are semantically identical (oracle-tested), so this
+    affects only which backend runs — use one setting per process.
+    """
 
     def __init__(
         self,
