@@ -98,3 +98,14 @@ class TestDispatchGate:
             assert calls == ["rowwise", "batched"]
         finally:
             dispatch.set_use_pallas(True)
+
+
+class TestStrictConfigArgs:
+    def test_misspelled_override_errors(self):
+        """A typo'd --flag must error, not be silently dropped."""
+        import pytest as _pytest
+
+        from votenet_tpu.config import config_from_args
+
+        with _pytest.raises(SystemExit):
+            config_from_args(["--use_palas=False"])  # sic

@@ -362,3 +362,20 @@ class TestLoudEdgeCases:
             out = pad_gt_to_static(scene, 4)
         assert out["gt_count"] == 4
         assert out["bboxes_xyz"].shape[0] == 4
+
+
+class TestCacheConfigKey:
+    def test_reject_mode_changes_cache_key(self, fake_root, tmp_path):
+        """Flipping a processing knob must NOT replay stale cache pickles."""
+        cache = str(tmp_path / "cache_key")
+        for mode in ("frustum", "in_box"):
+            cfg = Config(point_num=100000, reject_mode=mode)
+            flow = SunRGBDDataFlow(
+                fake_root, "training", training=False, config=cfg,
+                idx_list=[1], cache_dir=cache, seed=0,
+            )
+            list(flow)
+        files = os.listdir(cache)
+        assert len(files) == 2  # one cache entry per reject_mode
+        assert any("frustum" in f for f in files)
+        assert any("in_box" in f for f in files)

@@ -176,3 +176,17 @@ class TestHostSlicing:
 
         ids = [5, 7, 9]
         assert host_local_slice(ids, 0, 1) == ids
+
+
+class TestMeshShapeValidation:
+    def test_minus_one_requires_divisibility(self):
+        from votenet_tpu.parallel.mesh import make_mesh
+
+        with pytest.raises(ValueError, match="not divisible"):
+            make_mesh(jax.devices()[:8], shape=(-1, 3))
+
+    def test_minus_one_infers_all_devices(self):
+        from votenet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices()[:8], shape=(-1, 2), axis_names=("data", "model"))
+        assert mesh.devices.shape == (4, 2)
