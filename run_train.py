@@ -66,7 +66,15 @@ def main():
     )
     n_mesh = mesh.size if mesh is not None else 1
     if mesh is not None and cfg.batch_size % n_mesh != 0:
+        import warnings
+
+        requested = cfg.batch_size
         cfg = cfg.replace(batch_size=n_mesh * max(1, cfg.batch_size // n_mesh))
+        warnings.warn(
+            f"batch_size={requested} is not divisible by the {n_mesh}-device "
+            f"mesh; training at batch_size={cfg.batch_size} instead",
+            stacklevel=1,
+        )
     print(f"devices={n_dev} batch={cfg.batch_size} mesh={mesh}")
 
     if args.synthetic:
@@ -74,10 +82,16 @@ def main():
         val_scenes = synthetic_scenes(1, cfg, max(args.synthetic // 4, 2))
         gt_all = synthetic_gt_all(val_scenes)
 
+        # Seeded epoch shuffling: a fresh permutation per epoch, but the
+        # whole sequence is reproducible run-to-run (the A2 determinism
+        # guarantee extends to --synthetic runs; the reference seeds its
+        # RNGDataFlow per-process the same way).
+        shuffle_rng = np.random.default_rng(0)
+
         def batch_factory():
             from votenet_tpu.data.prefetch import prefetch
 
-            order = np.random.permutation(len(train_scenes))
+            order = shuffle_rng.permutation(len(train_scenes))
             return prefetch(batch_scenes(
                 (train_scenes[i] for i in order), cfg.batch_size, cfg.max_gt_boxes
             ))

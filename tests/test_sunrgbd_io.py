@@ -22,56 +22,10 @@ from votenet_tpu.data.sunrgbd import (
 )
 
 
-def make_fake_sunrgbd(root, idxs, rng, n_points=3000):
-    """Write calib/depth/label files for the given scene indices."""
-    for sub in ("calib", "depth", "label_dimension", "image"):
-        os.makedirs(os.path.join(root, "training", sub), exist_ok=True)
-
-    for idx in idxs:
-        # calib: Rtilt = identity, K = simple pinhole (column-major flattened)
-        Rtilt = np.eye(3)
-        K = np.array([[520.0, 0, 320.0], [0, 520.0, 240.0], [0, 0, 1.0]])
-        with open(os.path.join(root, "training", "calib", "%06d.txt" % idx), "w") as f:
-            f.write(" ".join(str(v) for v in Rtilt.reshape(-1, order="F")) + "\n")
-            f.write(" ".join(str(v) for v in K.reshape(-1, order="F")) + "\n")
-
-        # objects: a couple of boxes in upright depth coords (z up, y forward)
-        objects = []
-        for j in range(2):
-            cx, cy, cz = rng.uniform(-1, 1), rng.uniform(2.5, 4.0), rng.uniform(0.2, 0.8)
-            w, l, h = 0.4, 0.5, 0.45  # half-sizes (reference convention)
-            heading = rng.uniform(-np.pi, np.pi)
-            objects.append((cx, cy, cz, w, l, h, heading))
-
-        # depth: cluster points inside each box + background so frustum tests pass
-        pts = [rng.uniform([-3, 0.5, -1], [3, 6, 2], (n_points - 800 * len(objects), 3))]
-        for (cx, cy, cz, w, l, h, heading) in objects:
-            local = rng.uniform(-0.9, 0.9, (800, 3)) * [l, w, h]
-            from votenet_tpu.data.geometry import rotz
-
-            R = rotz(-heading)
-            pts.append(local @ R.T + [cx, cy, cz])
-        cloud = np.concatenate(pts)
-        depth = np.concatenate([cloud, rng.rand(len(cloud), 3)], axis=1)  # + rgb
-        np.savetxt(os.path.join(root, "training", "depth", "%06d.txt" % idx), depth, fmt="%.4f")
-
-        # labels: 17 numbers after the classname (reference sunutils.py:10-34)
-        lines = []
-        classnames = ["chair", "table"]
-        for cname, (cx, cy, cz, w, l, h, heading) in zip(classnames, objects):
-            ori = [np.cos(-heading), -np.sin(-heading)]
-            vals = [
-                100, 100, 200, 150,  # 2D box x,y,w,h — generous (frustum test)
-                cx, cy, cz,
-                w, l, h,
-                1, 0, 0, 1,  # basis (unused)
-                ori[0], ori[1],
-            ]
-            lines.append(cname + " " + " ".join(f"{v:.6f}" for v in vals))
-        with open(
-            os.path.join(root, "training", "label_dimension", "%06d.txt" % idx), "w"
-        ) as f:
-            f.write("\n".join(lines) + "\n")
+# the fixture generator lives in the package now (it also powers the
+# miniature real-path rehearsal, see votenet_tpu/data/mini_fixture.py);
+# re-exported here because every test class below uses it
+from votenet_tpu.data.mini_fixture import make_fake_sunrgbd  # noqa: E402
 
 
 @pytest.fixture(scope="module")

@@ -168,8 +168,22 @@ class TestHostSlicing:
 
         ids = list(range(10))
         parts = [host_local_slice(ids, pi, 3) for pi in range(3)]
-        assert sum(parts, []) == ids  # complete, ordered, disjoint
-        assert max(len(p) for p in parts) - min(len(p) for p in parts) <= 4
+        # every scene is assigned to some host (wrap-padding never drops)
+        assert set(sum(parts, [])) == set(ids)
+        # slices stay contiguous/ordered: concatenation = ids + wrap prefix
+        assert sum(parts, []) == ids + [0, 1]
+
+    def test_equal_slice_lengths(self):
+        # SPMD-critical: steps_per_epoch (and the LR schedule) derive from
+        # the local slice length, so EVERY process must get the same count
+        # or the pod desynchronizes at the epoch boundary (ADVICE r2 high).
+        from votenet_tpu.parallel.mesh import host_local_slice
+
+        for n, pc in [(5285, 4), (10, 3), (8, 4), (7, 8), (5050, 7)]:
+            parts = [host_local_slice(list(range(n)), pi, pc) for pi in range(pc)]
+            lengths = {len(p) for p in parts}
+            assert len(lengths) == 1, (n, pc, lengths)
+            assert set(sum(parts, [])) == set(range(n))
 
     def test_single_host_identity(self):
         from votenet_tpu.parallel.mesh import host_local_slice

@@ -151,6 +151,17 @@ def config_from_args(
             return False
         raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
 
+    def _tuple_parser(elem_type):
+        def parse(v: str):
+            try:
+                return tuple(elem_type(x) for x in v.split(",") if x != "")
+            except ValueError as e:
+                raise argparse.ArgumentTypeError(
+                    f"expected comma-separated {elem_type.__name__}s, got {v!r}"
+                ) from e
+
+        return parse
+
     parser = argparse.ArgumentParser(description="votenet_tpu configuration")
     for field in dataclasses.fields(Config):
         default = getattr(base, field.name)
@@ -160,6 +171,20 @@ def config_from_args(
         elif isinstance(field.default, (int, float, str)):
             parser.add_argument(
                 f"--{field.name}", type=type(field.default), default=default
+            )
+        elif (
+            isinstance(field.default, tuple)
+            and field.default
+            and all(isinstance(x, (int, float, str)) for x in field.default)
+            and len({type(x) for x in field.default}) == 1
+        ):
+            # flat homogeneous tuples are comma-separated on the CLI, e.g.
+            # --train_idx_range=5051,5101  --mesh_shape=2,4  --sa_radii=0.2,...
+            # (nested tuples like sa_mlps / lr_schedule stay code-only)
+            parser.add_argument(
+                f"--{field.name}",
+                type=_tuple_parser(type(field.default[0])),
+                default=tuple(default),
             )
     # strict: a misspelled override (--use_palas=...) must error, not be
     # silently dropped — callers pass exactly the leftover argv that is

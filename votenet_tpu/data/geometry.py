@@ -7,7 +7,8 @@ Rebuilds the pure-numpy helpers of the reference's ``dataset.py`` /
 RGB-D class taxonomy with per-class mean sizes (dataset.py:31-49).
 
 These run on the host in the input pipeline; device-side equivalents (where
-needed inside jit) live in :mod:`votenet_tpu.models.box_utils`.
+needed inside jit) live in :mod:`votenet_tpu.models.decode` (corner-izer,
+size/heading decode) and :mod:`votenet_tpu.models.losses`.
 """
 
 from __future__ import annotations

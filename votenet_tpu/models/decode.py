@@ -94,5 +94,13 @@ def predict_boxes(end_points: Dict[str, Any], config: Config, nms_iou: float | N
     decoded = decode_proposals(end_points, config)
     iou = config.nms_iou if nms_iou is None else nms_iou
     keep = nms3d(decoded["bboxes"], decoded["nms_scores"], decoded["objectness"], iou)
+    if config.max_detections < keep.shape[-1]:
+        # static cap on survivors: keep the max_detections highest-scoring
+        # boxes among the NMS keeps (fixed-shape top-k by rank; the
+        # reference has no cap — the default 256 = proposal_num is a no-op)
+        score = jnp.where(keep, decoded["nms_scores"], -jnp.inf)
+        order = jnp.argsort(-score, axis=-1)
+        rank = jnp.argsort(order, axis=-1)
+        keep = keep & (rank < config.max_detections)
     decoded["keep"] = keep
     return decoded

@@ -40,8 +40,12 @@ class CenteredDense(nn.Module):
     ``(g - pad(center)) @ W + b == g @ W - center @ W[:3] + b`` — moving the
     subtract after the matmul keeps the narrow (..., 3)-shaped centered
     tensor from ever materializing (a measured 1.7-2x win on the SA-layer
-    gather+MLP chain, benchmarks/fused_sa_bench.py). Parameter names/shapes
-    match ``nn.Dense`` exactly, so checkpoints are interchangeable.
+    gather+MLP chain, benchmarks/fused_sa_bench.py). The identity is exact
+    real math but reassociates the float computation: outputs differ from
+    the explicit centered path by matmul rounding (equivalence tests use
+    rtol≈2e-2 at meter-scale inputs) — do not expect bitwise-equal evals
+    between fused and non-fused checkpoints. Parameter names/shapes match
+    ``nn.Dense`` exactly, so checkpoints are interchangeable.
     """
 
     features: int
@@ -59,8 +63,13 @@ class CenteredDense(nn.Module):
         With ``idx`` (B, M, S): g_raw is the UNGROUPED per-point (B, N, Cin)
         tensor — the layer projects all N points first and gathers the wide
         (features,)-rows afterwards. ``gather ∘ dense == dense ∘ gather``
-        (the dense is per-point linear), so the output is bitwise identical;
-        but the gather moves from Cin-float rows (12 bytes at sa1 — far
+        (the dense is per-point linear), so the gather/dense commute is
+        per-element identical — note the CenteredDense fold itself
+        (either order) reassociates ``(g - pad(c)) @ W`` into
+        ``g @ W - c @ W[:3]``, which is exact math up to float
+        reassociation/matmul rounding, NOT bitwise equal to an explicit
+        centered-then-matmul path. The gather meanwhile moves from
+        Cin-float rows (12 bytes at sa1 — far
         below the HBM sector size) to `features`-float rows, and the matmul
         runs over N unique points instead of M*S grouped duplicates.
         """
@@ -91,6 +100,8 @@ class MLPStack(nn.Module):
     final_activation: bool = True
     use_bn: bool = True
     dtype: jnp.dtype = jnp.float32
+    bn_momentum: float = BN_MOMENTUM
+    bn_eps: float = BN_EPS
 
     @nn.compact
     def __call__(
@@ -112,8 +123,8 @@ class MLPStack(nn.Module):
                 if self.use_bn:
                     x = nn.BatchNorm(
                         use_running_average=not train,
-                        momentum=BN_MOMENTUM,
-                        epsilon=BN_EPS,
+                        momentum=self.bn_momentum,
+                        epsilon=self.bn_eps,
                         dtype=self.dtype,
                         name=f"bn{i}",
                     )(x)
@@ -193,6 +204,15 @@ class PointNetSAModule(nn.Module):
     use_xyz: bool = True
     use_bn: bool = True
     dtype: jnp.dtype = jnp.float32
+    bn_momentum: float = BN_MOMENTUM
+    bn_eps: float = BN_EPS
+
+    def _mlp_stack(self, widths, name, final_activation=True):
+        return MLPStack(
+            widths, final_activation=final_activation, use_bn=self.use_bn,
+            dtype=self.dtype, bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
+            name=name,
+        )
 
     @nn.compact
     def __call__(
@@ -230,21 +250,25 @@ class PointNetSAModule(nn.Module):
             # dense0 output gradient back to (B, N, w0) at EVERY SA layer —
             # including sa1, which otherwise has no backward scatter at all
             # (xyz carries no gradient) — measured 20% slower train step.
-            # Both orders are bitwise-identical forward (dense is per-point
-            # linear), so the switch cannot change numerics.
+            # The gather/dense commute is per-element identical forward
+            # (dense is per-point linear), so the train/infer switch does
+            # not itself change numerics. (Both paths share the
+            # CenteredDense fold, whose reassociation of the center
+            # subtract is exact math but not bitwise vs an explicit
+            # centered path — see CenteredDense docstring.)
             # (project-first at sa2+ only in training also measured ~96
             # scenes/s — the backward cost is not sa1-specific: the dW
             # chain serializes behind the dh scatter — so training is
             # gather-first at every layer)
             if train:
                 g_raw = ops.group_point(both, idx)
-                new_points = MLPStack(
-                    self.mlp, use_bn=self.use_bn, dtype=self.dtype, name="mlp"
-                )(g_raw, train, center=new_xyz)
+                new_points = self._mlp_stack(self.mlp, "mlp")(
+                    g_raw, train, center=new_xyz
+                )
             else:
-                new_points = MLPStack(
-                    self.mlp, use_bn=self.use_bn, dtype=self.dtype, name="mlp"
-                )(both, train, center=new_xyz, idx=idx)
+                new_points = self._mlp_stack(self.mlp, "mlp")(
+                    both, train, center=new_xyz, idx=idx
+                )
             grouped_xyz = None  # never materialized on this path
         else:
             if self.group_all:
@@ -256,9 +280,7 @@ class PointNetSAModule(nn.Module):
                     self.npoint, self.radius, self.nsample, xyz, points,
                     self.knn, self.use_xyz, sample_xyz,
                 )
-            new_points = MLPStack(
-                self.mlp, use_bn=self.use_bn, dtype=self.dtype, name="mlp"
-            )(new_points, train)
+            new_points = self._mlp_stack(self.mlp, "mlp")(new_points, train)
 
         if self.pooling == "max":
             new_points = jnp.max(new_points, axis=2)
@@ -278,9 +300,8 @@ class PointNetSAModule(nn.Module):
             raise ValueError(f"unknown pooling {self.pooling!r}")
 
         if self.mlp2 is not None:
-            new_points = MLPStack(
-                self.mlp2, final_activation=False, use_bn=self.use_bn,
-                dtype=self.dtype, name="mlp2",
+            new_points = self._mlp_stack(
+                self.mlp2, "mlp2", final_activation=False
             )(new_points, train)
 
         return new_xyz, new_points, idx
@@ -300,6 +321,8 @@ class PointNetSAModuleMSG(nn.Module):
     use_xyz: bool = True
     use_bn: bool = True
     dtype: jnp.dtype = jnp.float32
+    bn_momentum: float = BN_MOMENTUM
+    bn_eps: float = BN_EPS
 
     @nn.compact
     def __call__(self, xyz, points, train: bool):
@@ -317,6 +340,7 @@ class PointNetSAModuleMSG(nn.Module):
                 grouped = grouped_xyz
             grouped = MLPStack(
                 self.mlp_list[i], use_bn=self.use_bn, dtype=self.dtype,
+                bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
                 name=f"mlp_scale{i}",
             )(grouped, train)
             outs.append(jnp.max(grouped, axis=2))
@@ -332,6 +356,8 @@ class PointNetFPModule(nn.Module):
     mlp: Sequence[int]
     use_bn: bool = True
     dtype: jnp.dtype = jnp.float32
+    bn_momentum: float = BN_MOMENTUM
+    bn_eps: float = BN_EPS
 
     @nn.compact
     def __call__(self, xyz1, xyz2, points1, points2, train: bool):
@@ -344,6 +370,7 @@ class PointNetFPModule(nn.Module):
             new_points = jnp.concatenate([interpolated, points1], axis=2)
         else:
             new_points = interpolated
-        return MLPStack(self.mlp, use_bn=self.use_bn, dtype=self.dtype, name="mlp")(
-            new_points, train
-        )
+        return MLPStack(
+            self.mlp, use_bn=self.use_bn, dtype=self.dtype,
+            bn_momentum=self.bn_momentum, bn_eps=self.bn_eps, name="mlp",
+        )(new_points, train)

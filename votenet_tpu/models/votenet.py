@@ -48,6 +48,8 @@ class VotingModule(nn.Module):
 
     units: tuple
     dtype: jnp.dtype = jnp.float32
+    bn_momentum: float = BN_MOMENTUM
+    bn_eps: float = BN_EPS
 
     @nn.compact
     def __call__(self, seeds: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -57,8 +59,8 @@ class VotingModule(nn.Module):
             if i < len(self.units) - 1:
                 x = nn.BatchNorm(
                     use_running_average=not train,
-                    momentum=BN_MOMENTUM,
-                    epsilon=BN_EPS,
+                    momentum=self.bn_momentum,
+                    epsilon=self.bn_eps,
                     dtype=self.dtype,
                     name=f"voting{i}_bn",
                 )(x)
@@ -85,6 +87,7 @@ class VoteNet(nn.Module):
         # static_argnums counts self: (self, xyz, points, train) -> train is 3
         sa_cls = nn.remat(PointNetSAModule, static_argnums=(3,)) if cfg.remat else PointNetSAModule
 
+        bn_kw = dict(bn_momentum=cfg.bn_momentum, bn_eps=cfg.bn_eps)
         xyz, feats = l0_xyz, l0_points
         sa_out = []
         for i in range(4):
@@ -95,15 +98,16 @@ class VoteNet(nn.Module):
                 mlp=cfg.sa_mlps[i],
                 dtype=dtype,
                 name=f"sa{i + 1}",
+                **bn_kw,
             )(xyz, feats, train)
             sa_out.append((xyz, feats))
 
         (l1_xyz, l1_points), (l2_xyz, l2_points), (l3_xyz, l3_points), (l4_xyz, l4_points) = sa_out
 
-        l3_points = PointNetFPModule(cfg.fp_mlps[0], dtype=dtype, name="fp1")(
+        l3_points = PointNetFPModule(cfg.fp_mlps[0], dtype=dtype, name="fp1", **bn_kw)(
             l3_xyz, l4_xyz, l3_points, l4_points, train
         )
-        seeds_points = PointNetFPModule(cfg.fp_mlps[1], dtype=dtype, name="fp2")(
+        seeds_points = PointNetFPModule(cfg.fp_mlps[1], dtype=dtype, name="fp2", **bn_kw)(
             l2_xyz, l3_xyz, l2_points, l3_points, train
         )
         seeds_xyz = l2_xyz
@@ -111,7 +115,7 @@ class VoteNet(nn.Module):
         # Voting: offsets applied to the concatenated (xyz, feature) seed
         # state — votes shift coordinates AND features (model.py:60)
         seed_state = jnp.concatenate([seeds_xyz, seeds_points], axis=2)
-        offset = VotingModule(tuple(cfg.vote_units), dtype=dtype, name="voting")(
+        offset = VotingModule(tuple(cfg.vote_units), dtype=dtype, name="voting", **bn_kw)(
             seed_state, train
         )
         votes = seed_state + offset
@@ -127,6 +131,7 @@ class VoteNet(nn.Module):
             mlp2=tuple(cfg.proposal_mlp2_hidden) + (cfg.num_proposal_channels,),
             dtype=dtype,
             name="proposal",
+            **bn_kw,
         )(votes_xyz, votes_points, train, sample_xyz=seeds_xyz)
 
         return {

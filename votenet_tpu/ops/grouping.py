@@ -186,9 +186,13 @@ def scatter_add_mxu(
     (~2x the time of this formulation at SUN RGB-D shapes, see
     benchmarks/scatter_bench.py); instead we scan over update chunks and
     contract a float32 one-hot of the destination indices against the
-    update values on the MXU. Products are exact (one-hot entries are 0/1,
-    accumulation in f32), summation order is fixed by the scan — fully
-    deterministic, unlike the reference's atomicAdd (tf_grouping_g.cu:61-78).
+    update values on the MXU. The one-hot operand runs at DEFAULT precision
+    (0/1 is bf16-exact) while the update operand is HIGHEST (split into
+    bf16 passes covering the full f32 mantissa), so every product is the
+    exact f32 update value and accumulation is f32: the result matches
+    XLA's native scatter-add bit-for-bit up to summation order, which is
+    fixed by the scan — fully deterministic, unlike the reference's
+    atomicAdd (tf_grouping_g.cu:61-78).
 
     Args:
       g: (B, M, S, C) update values (cotangent of the gathered output).
@@ -214,7 +218,9 @@ def scatter_add_mxu(
         ik, gk = args  # (B, chunk), (B, chunk, C)
         oh = jax.nn.one_hot(ik, num_rows, dtype=jnp.float32)
         return acc + jnp.einsum(
-            "bkn,bkc->bnc", oh, gk, preferred_element_type=jnp.float32
+            "bkn,bkc->bnc", oh, gk,
+            preferred_element_type=jnp.float32,
+            precision=(lax.Precision.DEFAULT, lax.Precision.HIGHEST),
         ), None
 
     acc0 = jnp.zeros((B, num_rows, C), jnp.float32)

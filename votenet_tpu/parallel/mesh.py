@@ -65,11 +65,21 @@ def host_local_slice(ids: Sequence, process_index: Optional[int] = None,
     pipeline over DCN, SURVEY §2.3); `shard_batch` then places each host's
     examples on its addressable devices. On a single host this is the
     identity.
+
+    Every process MUST receive the same number of ids: the per-epoch step
+    count (and therefore the LR schedule and the number of jitted steps
+    entering the SPMD collectives) is derived from the local slice length,
+    so unequal slices would desynchronize the pod at the epoch boundary.
+    When ``len(ids)`` is not divisible by ``process_count`` the list is
+    padded by wrapping (the first few ids appear twice per epoch) rather
+    than truncated, so no scene is ever dropped from training.
     """
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
     ids = list(ids)
     per = -(-len(ids) // pc)
+    if per * pc != len(ids):
+        ids = ids + ids[: per * pc - len(ids)]
     return ids[pi * per : (pi + 1) * per]
 
 
