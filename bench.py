@@ -49,6 +49,45 @@ def _timeit(fn, iters=10, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
+# bf16 dense peak FLOP/s per chip, by jax device_kind prefix (most specific
+# first — "TPU v5" must not swallow "TPU v5 lite"). MFU here is the standard
+# convention: achieved FLOP/s over the chip's bf16 MXU peak. The model runs
+# f32 (bf16 measured convergence-negative, DESIGN.md), and XLA executes f32
+# matmuls as multi-pass bf16 — so the f32-attainable ceiling is ~1/4 to 1/3
+# of this peak; the roofline table in DESIGN.md carries that context.
+_PEAK_BF16 = (
+    ("TPU v6 lite", 918e12),  # Trillium / v6e
+    ("TPU v6", 918e12),
+    ("TPU v5 lite", 197e12),  # v5e
+    ("TPU v5p", 459e12),
+    ("TPU v5", 459e12),
+    ("TPU v4", 275e12),
+    ("TPU v3", 123e12),
+)
+
+
+def _peak_flops():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for prefix, peak in _PEAK_BF16:
+        if kind.startswith(prefix):
+            return peak, kind
+    return None, kind
+
+
+def _cost_analysis(jitted, *args):
+    """(flops, bytes accessed) of a compiled jit per XLA's own accounting."""
+    try:
+        compiled = jitted.lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0] if ca else {}
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return None, None
+
+
 def _build_predict(batch_size: int):
     import jax
     import jax.numpy as jnp
@@ -100,7 +139,8 @@ def _measure_inference():
         return lax.fori_loop(0, K, body, (points, jnp.int32(0)))
 
     dt = min(_timeit(lambda: chained(pts), iters=3, warmup=2) for _ in range(3)) / K
-    return BATCH / dt
+    flops, nbytes = _cost_analysis(predict, pts)
+    return BATCH / dt, dt, flops, nbytes
 
 
 def _measure_train_step():
@@ -138,12 +178,14 @@ def _measure_train_step():
 
     dt = min(_timeit(lambda: chained(state, batch), iters=2, warmup=1)
              for _ in range(3)) / K
-    return BATCH / dt
+    flops, nbytes = _cost_analysis(jax.jit(step_fn), state, batch)
+    return BATCH / dt, dt, flops, nbytes
 
 
 def bench_inference():
-    scenes_per_sec = _measure_inference()
-    train_sps = _measure_train_step()
+    scenes_per_sec, dt_inf, flops_inf, bytes_inf = _measure_inference()
+    train_sps, dt_tr, flops_tr, bytes_tr = _measure_train_step()
+    peak, device = _peak_flops()
 
     vs_baseline = None
     if os.path.exists(CPU_REF_FILE):
@@ -151,12 +193,35 @@ def bench_inference():
             cpu_ref = json.load(f)["scenes_per_sec"]
         vs_baseline = scenes_per_sec / (10.0 * cpu_ref)
 
+    def _roof(flops, nbytes, dt):
+        """achieved TFLOP/s, MFU vs bf16 peak, arithmetic intensity."""
+        if not flops or not dt:
+            return None, None, None
+        tf = flops / dt / 1e12
+        mfu = tf * 1e12 / peak if peak else None
+        ai = flops / nbytes if nbytes else None
+        return round(tf, 3), round(mfu, 4) if mfu else None, round(ai, 2) if ai else None
+
+    tf_inf, mfu_inf, ai_inf = _roof(flops_inf, bytes_inf, dt_inf)
+    tf_tr, mfu_tr, ai_tr = _roof(flops_tr, bytes_tr, dt_tr)
+
     print(json.dumps({
         "metric": "sunrgbd_inference_scenes_per_sec_per_chip",
         "value": round(scenes_per_sec, 3),
         "unit": "scenes/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline is not None else None,
         "train_step_scenes_per_sec": round(train_sps, 3),
+        # roofline accounting (XLA compiled cost analysis; MFU vs the chip's
+        # bf16 MXU peak — the f32-attainable ceiling is ~1/4-1/3 of it)
+        "device": device,
+        "tflops": tf_inf,
+        "mfu": mfu_inf,
+        "arith_intensity_flops_per_byte": ai_inf,
+        "train_tflops": tf_tr,
+        "train_mfu": mfu_tr,
+        "train_arith_intensity": ai_tr,
+        "hbm_gbps": round(bytes_inf / dt_inf / 1e9, 1) if bytes_inf and dt_inf else None,
+        "train_hbm_gbps": round(bytes_tr / dt_tr / 1e9, 1) if bytes_tr and dt_tr else None,
     }))
 
 
@@ -238,9 +303,13 @@ def bench_ball_query():
 
 
 def bench_train_step():
-    sps = _measure_train_step()
+    sps, dt, flops, nbytes = _measure_train_step()
+    peak, _ = _peak_flops()
+    tf = round(flops / dt / 1e12, 3) if flops and dt else None
     print(json.dumps({"metric": "train_step_scenes_per_sec", "value": round(sps, 3),
-                      "unit": "scenes/s", "vs_baseline": None}))
+                      "unit": "scenes/s", "vs_baseline": None,
+                      "tflops": tf,
+                      "mfu": round(tf * 1e12 / peak, 4) if tf and peak else None}))
 
 
 if __name__ == "__main__":

@@ -153,6 +153,7 @@ def scatter_sort(g, idx, N):
 
 def main():
     from votenet_tpu.ops import query_ball_point
+    from votenet_tpu.ops.grouping import scatter_add_mxu
 
     rng = np.random.RandomState(0)
     for name, (N, M, S, C) in SHAPES.items():
@@ -170,6 +171,11 @@ def main():
             ("onehot", functools.partial(scatter_onehot, N=N)),
             ("oh_f32", functools.partial(scatter_onehot_f32, N=N)),
             ("oh_hilo", functools.partial(scatter_onehot_hilo, N=N)),
+            # production: f32 one-hot with per-operand precision — the update
+            # operand at HIGHEST (multi-pass, exact f32 products), the one-hot
+            # at DEFAULT (0/1 is bf16-exact). ADVICE r2: plain DEFAULT
+            # bf16-truncated every gradient update on TPU.
+            ("oh_hp", functools.partial(scatter_add_mxu, num_rows=N)),
         ]:
             jit_fn = jax.jit(lambda g, idx, fn=fn: fn(g, idx))
             try:
@@ -181,10 +187,12 @@ def main():
         # numerical agreement check (vs xla, f32 tolerance for bf16 paths)
         ref = np.asarray(jax.jit(lambda g, i: scatter_xla(g, i, N))(g, idx))
         oh = np.asarray(jax.jit(lambda g, i: scatter_onehot(g, i, N))(g, idx))
+        hp = np.asarray(jax.jit(lambda g, i: scatter_add_mxu(g, i, N))(g, idx))
         err = np.max(np.abs(ref - oh)) / (np.max(np.abs(ref)) + 1e-9)
+        err_hp = np.max(np.abs(ref - hp)) / (np.max(np.abs(ref)) + 1e-9)
         print(f"{name:5s} N={N:6d} M={M:5d} C={C:4d} | "
               + " ".join(f"{l}={t:8.3f}ms" for l, t in rows)
-              + f" | onehot rel-err {err:.2e}")
+              + f" | onehot rel-err {err:.2e} | oh_hp rel-err {err_hp:.2e}")
 
 
 if __name__ == "__main__":

@@ -27,6 +27,35 @@ def _sync(x):
     np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
 
 
+# v5e roofline constants: 197 TFLOP/s bf16 MXU peak, 819 GB/s HBM. An op is
+# compute-bound only above the ridge intensity peak/bw ≈ 240 flops/byte
+# (f32 multi-pass matmuls ridge at ~60-80). Everything below is HBM-bound.
+PEAK_BF16, HBM_BW = 197e12, 819e9
+
+
+def cost(fn, *args):
+    """(flops, bytes) of one un-chained application, per XLA cost analysis."""
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0] if ca else {}
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
+
+
+STAGE_ROWS = []
+
+
+def report(stage, t, fl, by):
+    """Record + pretty-print one stage with its roofline classification."""
+    ai = fl / by if by else 0.0
+    bound = "MXU" if ai > 240 else ("mixed" if ai > 60 else "HBM")
+    STAGE_ROWS.append((stage, t, fl, by, ai, bound))
+    return (f"{t*1e3:6.2f}ms {fl/1e9:7.2f}GF {by/1e6:7.1f}MB "
+            f"ai={ai:6.1f} [{bound}]")
+
+
 def chained_time(fn, x0, *rest, iters=3, warmup=1):
     """Time fn(x, *rest) over K chained device-side iterations.
 
@@ -71,14 +100,16 @@ def main():
         feat = (jnp.asarray(rng.standard_normal((B, N, Cin)), jnp.float32)
                 if Cin else None)
 
-        t_fps = chained_time(lambda x: ops.farthest_point_sample(M, x), xyz)
-        fps_idx = jax.jit(lambda x: ops.farthest_point_sample(M, x))(xyz)
+        fps_fn = lambda x: ops.farthest_point_sample(M, x)
+        t_fps = chained_time(fps_fn, xyz)
+        c_fps = cost(fps_fn, xyz)
+        fps_idx = jax.jit(fps_fn)(xyz)
         new_xyz = jax.jit(ops.gather_point)(xyz, fps_idx)
 
-        t_bq = chained_time(
-            lambda x, q: ops.query_ball_point(r, S, x, q), xyz, new_xyz
-        )
-        idx, _ = jax.jit(lambda x, q: ops.query_ball_point(r, S, x, q))(xyz, new_xyz)
+        bq_fn = lambda x, q: ops.query_ball_point(r, S, x, q)
+        t_bq = chained_time(bq_fn, xyz, new_xyz)
+        c_bq = cost(bq_fn, xyz, new_xyz)
+        idx, _ = jax.jit(bq_fn)(xyz, new_xyz)
         both = jnp.concatenate([xyz, feat], axis=-1) if feat is not None else xyz
 
         def group(both, idx, new_xyz):
@@ -86,6 +117,7 @@ def main():
             return g.at[..., :3].add(-new_xyz[:, :, None, :])
 
         t_group = chained_time(group, both, idx, new_xyz)
+        c_group = cost(group, both, idx, new_xyz)
         grouped = jax.jit(group)(both, idx, new_xyz)
 
         Cg = grouped.shape[-1]
@@ -98,9 +130,12 @@ def main():
             return jnp.max(h, axis=2)
 
         t_mlp = chained_time(mlp, grouped, W0, W1)
+        c_mlp = cost(mlp, grouped, W0, W1)
         total += t_fps + t_bq + t_group + t_mlp
-        print(f"{name:5s} fps={t_fps*1e3:6.2f}ms bq={t_bq*1e3:6.2f}ms "
-              f"group={t_group*1e3:6.2f}ms mlp+pool={t_mlp*1e3:6.2f}ms", flush=True)
+        print(f"{name:5s} fps  {report(f'{name}/fps', t_fps, *c_fps)}", flush=True)
+        print(f"{name:5s} bq   {report(f'{name}/bq', t_bq, *c_bq)}", flush=True)
+        print(f"{name:5s} grp  {report(f'{name}/group', t_group, *c_group)}", flush=True)
+        print(f"{name:5s} mlp  {report(f'{name}/mlp', t_mlp, *c_mlp)}", flush=True)
 
     for name, n, m, C in [("fp1", 512, 1024, 256), ("fp2", 1024, 2048, 256)]:
         xyz1 = jnp.asarray(rng.uniform(-4, 4, (B, n, 3)), jnp.float32)
@@ -114,8 +149,9 @@ def main():
             return ops.three_interpolate(feat, idx, w)
 
         t_fp = chained_time(fp, feat, xyz1, xyz2)
+        c_fp = cost(fp, feat, xyz1, xyz2)
         total += t_fp
-        print(f"{name:5s} three_nn+interp={t_fp*1e3:6.2f}ms", flush=True)
+        print(f"{name:5s} 3nn  {report(f'{name}/3nn+interp', t_fp, *c_fp)}", flush=True)
 
     from votenet_tpu.config import default_config
     from votenet_tpu.models.decode import predict_boxes
@@ -130,19 +166,31 @@ def main():
     ep = jax.jit(lambda p: model.apply(variables, p, train=False))(pts)
     proposals = {k: ep[k] for k in ep if hasattr(ep[k], "dtype")}
 
-    t_dec = chained_time(
-        lambda out: predict_boxes({**proposals, "proposals_output": out}, cfg)["bboxes"],
-        proposals["proposals_output"],
-    )
-    print(f"decode+nms = {t_dec*1e3:6.2f}ms", flush=True)
+    dec_fn = lambda out: predict_boxes(
+        {**proposals, "proposals_output": out}, cfg
+    )["bboxes"]
+    t_dec = chained_time(dec_fn, proposals["proposals_output"])
+    c_dec = cost(dec_fn, proposals["proposals_output"])
+    print(f"dec   nms  {report('decode+nms', t_dec, *c_dec)}", flush=True)
     total += t_dec
 
     def full(p):
         return predict_boxes(model.apply(variables, p, train=False), cfg)["bboxes"]
 
     t_full = chained_time(full, pts)
+    c_full = cost(full, pts)
+    print(f"full  fwd  {report('FULL', t_full, *c_full)}", flush=True)
     print(f"sum-of-stages = {total*1e3:.2f}ms | full jitted fwd = {t_full*1e3:.2f}ms",
           flush=True)
+
+    # top time sinks with their roofline classification (the VERDICT r3
+    # deliverable: top-3 sinks, bytes-vs-flops)
+    rows = [r for r in STAGE_ROWS if r[0] != "FULL"]
+    rows.sort(key=lambda r: -r[1])
+    print("\ntop time sinks (per stage, B=%d):" % B)
+    for stage, t, fl, by, ai, bound in rows[:6]:
+        print(f"  {stage:16s} {t*1e3:6.2f}ms  ai={ai:6.1f} flops/byte  "
+              f"bound={bound}  ({fl/1e9:.2f} GF, {by/1e6:.1f} MB)", flush=True)
 
 
 if __name__ == "__main__":

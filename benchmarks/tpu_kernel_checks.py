@@ -50,6 +50,28 @@ def main():
             want = oracles.fps_oracle(m, xyz)
             np.testing.assert_array_equal(got, want)
             print(f"{name} compiled ok  B={B} N={N} m={m}", flush=True)
+
+    # gradient-scatter exactness ON TPU: the "exact" mode must match an f64
+    # host accumulation to f32 roundoff (ADVICE r2: DEFAULT-precision TPU
+    # einsums bf16-truncate the update values — CPU tests cannot catch this)
+    import jax.numpy as jnp
+
+    from votenet_tpu.ops import dispatch
+    from votenet_tpu.ops.grouping import scatter_add_mxu
+
+    B, M, S, C, N = 4, 128, 16, 37, 256
+    g = rng.randn(B, M, S, C).astype(np.float32)
+    idx = rng.randint(0, N, (B, M, S)).astype(np.int32)
+    want = np.zeros((B, N, C), np.float64)
+    for b in range(B):
+        np.add.at(want[b], idx[b].reshape(-1), g[b].reshape(-1, C).astype(np.float64))
+    assert dispatch.scatter_precision() == "exact"
+    got = np.asarray(jax.jit(
+        lambda g, i: scatter_add_mxu(g, i, N)
+    )(jnp.asarray(g), jnp.asarray(idx)))
+    err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
+    assert err < 1e-5, f"exact scatter rel-err {err:.2e} on TPU"
+    print(f"scatter exact-mode compiled ok  rel-err {err:.2e}", flush=True)
     print("ALL COMPILED KERNEL CHECKS PASSED")
 
 

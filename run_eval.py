@@ -26,7 +26,7 @@ def main():
     args, config_argv = parser.parse_known_args()
 
     from votenet_tpu.config import config_from_args, default_config, tiny_config
-    from votenet_tpu.ops.dispatch import set_use_pallas
+    from votenet_tpu.ops.dispatch import apply_config
     from votenet_tpu.eval.evaluator import Evaluator, make_predict_fn
     from votenet_tpu.models.votenet import VoteNet
     from votenet_tpu.train.state import create_train_state
@@ -34,7 +34,7 @@ def main():
 
     cfg = tiny_config() if args.preset == "tiny" else default_config()
     cfg = config_from_args(config_argv, base=cfg)
-    set_use_pallas(cfg.use_pallas)
+    apply_config(cfg)
     state = create_train_state(jax.random.PRNGKey(0), cfg, steps_per_epoch=1)
     state, step = ckpt.restore_checkpoint(args.log_dir, state)
     print(f"checkpoint: {'epoch %s' % step if step else 'NONE (random init)'}")

@@ -100,6 +100,50 @@ class TestDispatchGate:
             dispatch.set_use_pallas(True)
 
 
+class TestScatterPrecisionGate:
+    def test_default_is_exact(self):
+        assert dispatch.scatter_precision() == "exact"
+
+    def test_set_and_validate(self):
+        dispatch.set_scatter_precision("fast_bf16")
+        try:
+            assert dispatch.scatter_precision() == "fast_bf16"
+        finally:
+            dispatch.set_scatter_precision("exact")
+        import pytest
+
+        with pytest.raises(ValueError, match="scatter_precision"):
+            dispatch.set_scatter_precision("wat")
+
+    def test_apply_config_sets_both_gates(self):
+        from votenet_tpu.config import default_config
+
+        dispatch.apply_config(
+            default_config(use_pallas=False, scatter_precision="fast_bf16")
+        )
+        try:
+            assert dispatch.scatter_precision() == "fast_bf16"
+        finally:
+            dispatch.apply_config(default_config())
+            assert dispatch.scatter_precision() == "exact"
+
+    def test_both_modes_agree_on_cpu(self, rng):
+        # CPU einsums are true f32 either way; this pins that the mode switch
+        # changes nothing semantically (the truncation is TPU-only, verified
+        # on hardware in benchmarks/scatter_bench.py / tpu_kernel_checks.py)
+        from votenet_tpu.ops.grouping import scatter_add_mxu
+
+        g = jnp.asarray(rng.randn(2, 16, 4, 5).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 32, (2, 16, 4)).astype(np.int32))
+        exact = np.asarray(scatter_add_mxu(g, idx, 32))
+        dispatch.set_scatter_precision("fast_bf16")
+        try:
+            fast = np.asarray(scatter_add_mxu(g, idx, 32))
+        finally:
+            dispatch.set_scatter_precision("exact")
+        np.testing.assert_allclose(exact, fast, rtol=1e-6)
+
+
 class TestStrictConfigArgs:
     def test_misspelled_override_errors(self):
         """A typo'd --flag must error, not be silently dropped."""

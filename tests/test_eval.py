@@ -125,3 +125,41 @@ class TestEvaluatorEndToEnd:
             oracle_predict, [(int(s["data_idx"]), s["points"]) for s in scenes]
         )
         assert result["mAP"] == pytest.approx(1.0)
+
+    def test_device_cache_matches_host_path(self, rng):
+        """DeviceSceneCache (HBM-resident val set) must produce identical
+        predictions to the per-batch host-upload path, including the
+        padded-last-batch masking."""
+        from votenet_tpu.config import Config
+        from votenet_tpu.data.synthetic import synthetic_gt_all, synthetic_scenes
+        from votenet_tpu.eval.evaluator import DeviceSceneCache, Evaluator
+
+        cfg = Config(point_num=64, proposal_num=4, max_gt_boxes=4)
+        scenes = synthetic_scenes(0, cfg, 6)  # 6 scenes, batch 4 -> pad 2
+        gt_all = synthetic_gt_all(scenes)
+        pairs = [(int(s["data_idx"]), s["points"]) for s in scenes]
+        P = cfg.proposal_num
+
+        def fake_predict(points_batch):
+            # deterministic function of the points so both paths must agree
+            pts = np.asarray(points_batch)
+            B = pts.shape[0]
+            bboxes = np.tile(
+                np.mean(pts, axis=1)[:, None, None, :], (1, P, 8, 1)
+            ).astype(np.float32)
+            scores = np.tile(
+                np.sum(pts, axis=(1, 2))[:, None, None], (1, P, cfg.num_class)
+            ).astype(np.float32)
+            keep = np.ones((B, P), bool)
+            return {"bboxes": bboxes, "class_scores": scores, "keep": keep}
+
+        ev = Evaluator(cfg, gt_all, batch_size=4)
+        host = ev.predictions_for_scenes(fake_predict, pairs)
+        cache = DeviceSceneCache(pairs, batch_size=4)
+        dev = ev.predictions_for_scenes(fake_predict, cache)
+        assert set(host) == set(dev) == {i for i, _ in pairs}
+        for img_id in host:
+            assert len(host[img_id]) == len(dev[img_id])
+            for (c1, b1, s1), (c2, b2, s2) in zip(host[img_id], dev[img_id]):
+                assert c1 == c2 and s1 == pytest.approx(s2, rel=1e-6)
+                np.testing.assert_allclose(b1, b2, rtol=1e-6)

@@ -1,0 +1,31 @@
+"""Two-OS-process distributed smoke (slow): see benchmarks/multiprocess_smoke.py.
+
+Spawns two real processes joined by jax.distributed.initialize (Gloo over
+localhost — the multi-host pod code path), partitions input with the
+production host_local_slice, and runs one sharded train step; the parent
+asserts disjoint slices and an identical all-reduced loss on both processes.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_two_process_train_step():
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("PALLAS_AXON_POOL_IPS", "PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    env["SMOKE_PORT"] = "12431"  # distinct from manual runs
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks", "multiprocess_smoke.py")],
+        env=env, capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
+    assert "MULTIPROCESS SMOKE PASSED" in r.stdout

@@ -74,7 +74,12 @@ class Config:
     compute_dtype: str = "float32"   # "bfloat16" to run MLPs on MXU in bf16
     use_pallas: bool = True      # Pallas kernels on TPU; False forces the XLA
                                  # twins everywhere (applied at entry points
-                                 # via ops.dispatch.set_use_pallas)
+                                 # via ops.dispatch.apply_config)
+    scatter_precision: str = "exact"  # group_point-VJP products: "exact"
+                                 # (f32, parity with the reference's atomicAdd)
+                                 # or "fast_bf16" (~13% faster train step,
+                                 # ~1e-3 relative gradient rounding — see
+                                 # ops/dispatch.py)
     remat: bool = False          # rematerialize SA/FP blocks in backward
                                  # (trades ~15% step time for O(layers) less
                                  # activation HBM — enables much larger batches)

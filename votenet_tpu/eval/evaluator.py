@@ -26,6 +26,45 @@ from votenet_tpu.data.geometry import CLASS2TYPE
 from votenet_tpu.eval.ap import eval_det
 
 
+class DeviceSceneCache:
+    """Validation points uploaded to the device ONCE, reused every eval.
+
+    The periodic evaluator used to re-stack and re-upload all val points on
+    every trigger (~1.2 GB at the reference's 5050-scene val split — the
+    dominant eval cost after pipelining, benchmarks/eval_scale.py). The val
+    points never change across evals, so this stacks them once, pads to a
+    batch multiple (repeating the last scene; masked out of results), and
+    keeps the single (S, P, 3) array resident in HBM. Batches are device
+    slices — no host->device traffic per eval at all.
+
+    The upload happens in slabs (``upload_slab`` scenes per transfer) and is
+    concatenated on device: one giant transfer can exceed transport body
+    limits under tunneled PJRT backends.
+    """
+
+    def __init__(self, scenes, batch_size: int, upload_slab: int = 256):
+        import jax
+        import jax.numpy as jnp
+
+        scenes = list(scenes)
+        self.ids = [int(i) for i, _ in scenes]
+        self.n = len(scenes)
+        self.batch_size = batch_size
+        pad = (-self.n) % batch_size
+        pts = [np.asarray(p, np.float32) for _, p in scenes]
+        pts += [pts[-1]] * pad
+        slabs = []
+        for s in range(0, len(pts), upload_slab):
+            slabs.append(jax.device_put(jnp.asarray(np.stack(pts[s : s + upload_slab]))))
+        self.points = jnp.concatenate(slabs, axis=0) if len(slabs) > 1 else slabs[0]
+
+    def batches(self):
+        """Yield (img_ids_of_real_scenes, device_points (B, P, 3))."""
+        B = self.batch_size
+        for s in range(0, self.points.shape[0], B):
+            yield self.ids[s : s + B], self.points[s : s + B]
+
+
 class Evaluator:
     """Runs batched VoteNet inference over a scene set and computes mAP."""
 
@@ -50,6 +89,10 @@ class Evaluator:
     ) -> Dict[int, List[Tuple[str, np.ndarray, float]]]:
         """Run batched inference; returns {img_id: [(classname, bbox, score)]}.
 
+        ``scenes`` is either an iterable of (img_id, points) pairs (stacked
+        and uploaded per batch) or a :class:`DeviceSceneCache` (no uploads:
+        batches are slices of the device-resident val array).
+
         Batches are kept in flight (JAX async dispatch) up to
         ``self.pipeline_depth`` deep, so device compute, device->host result
         fetches and host-side decoding of earlier batches overlap — at the
@@ -58,14 +101,13 @@ class Evaluator:
         """
         from collections import deque
 
-        scenes = list(scenes)
         pred_all: Dict[int, List] = {}
         B = self.batch_size
         pending: deque = deque()
 
         def drain(n_keep: int):
             while len(pending) > n_keep:
-                chunk, n_real, out = pending.popleft()
+                ids, out = pending.popleft()
                 bboxes = np.asarray(out["bboxes"])
                 class_scores = np.asarray(out["class_scores"])
                 keep = np.asarray(out["keep"])
@@ -73,8 +115,7 @@ class Evaluator:
                 best = np.take_along_axis(
                     class_scores, cls_idx[..., None], axis=-1
                 )[..., 0]
-                for bi in range(n_real):
-                    img_id = chunk[bi][0]
+                for bi, img_id in enumerate(ids):
                     dets = []
                     for pi in np.nonzero(keep[bi])[0]:
                         dets.append((
@@ -84,13 +125,25 @@ class Evaluator:
                         ))
                     pred_all[img_id] = dets
 
-        for start in range(0, len(scenes), B):
-            chunk = scenes[start : start + B]
-            n_real = len(chunk)
-            while len(chunk) < B:  # pad last batch by repeating
-                chunk.append(chunk[-1])
-            points = np.stack([c[1] for c in chunk]).astype(np.float32)
-            pending.append((chunk, n_real, predict_fn(points)))
+        if isinstance(scenes, DeviceSceneCache):
+            assert scenes.batch_size == B, (
+                f"cache built for batch {scenes.batch_size}, evaluator uses {B}"
+            )
+            batch_iter = scenes.batches()
+        else:
+            def _host_batches():
+                all_scenes = list(scenes)
+                for start in range(0, len(all_scenes), B):
+                    chunk = all_scenes[start : start + B]
+                    ids = [c[0] for c in chunk]
+                    while len(chunk) < B:  # pad last batch by repeating
+                        chunk.append(chunk[-1])
+                    yield ids, np.stack([c[1] for c in chunk]).astype(np.float32)
+
+            batch_iter = _host_batches()
+
+        for ids, points in batch_iter:
+            pending.append((ids, predict_fn(points)))
             drain(self.pipeline_depth)
         drain(0)
         return pred_all

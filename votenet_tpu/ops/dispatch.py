@@ -46,3 +46,35 @@ def pallas_disabled():
         yield
     finally:
         _enabled = prev
+
+
+# --- gradient-scatter precision (group_point backward) ---
+#
+# "exact":     per-operand HIGHEST on the update operand — every product is
+#              the exact f32 update value (matches XLA's native scatter-add
+#              up to summation order; parity with the reference's f32
+#              atomicAdd products, tf_grouping_g.cu:61-78). Default.
+# "fast_bf16": single-pass MXU einsum; update values are bf16-rounded before
+#              the multiply (~1e-3 relative on the gradient). Measured 2026-08
+#              (benchmarks/scatter_bench.py, v5e): live-shape scatter total
+#              16.2 ms vs 24.8 ms exact — ~13% faster full train step.
+_scatter_precision: str = "exact"
+
+
+def set_scatter_precision(mode: str) -> None:
+    """Set the group_point-VJP precision mode ("exact" | "fast_bf16")."""
+    global _scatter_precision
+    if mode not in ("exact", "fast_bf16"):
+        raise ValueError(f"scatter_precision must be 'exact' or 'fast_bf16', got {mode!r}")
+    _scatter_precision = mode
+
+
+def scatter_precision() -> str:
+    """Current gradient-scatter precision mode (consulted at trace time)."""
+    return _scatter_precision
+
+
+def apply_config(config) -> None:
+    """Apply every dispatch-relevant Config knob (entry-point helper)."""
+    set_use_pallas(config.use_pallas)
+    set_scatter_precision(config.scatter_precision)

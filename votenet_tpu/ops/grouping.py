@@ -182,17 +182,25 @@ def scatter_add_mxu(
 ) -> jnp.ndarray:
     """Transpose of :func:`group_point`: Σ_{m,s} 1[idx==n]·g as MXU matmuls.
 
-    XLA lowers a plain scatter-add to a slow serialized loop on TPU
-    (~2x the time of this formulation at SUN RGB-D shapes, see
-    benchmarks/scatter_bench.py); instead we scan over update chunks and
-    contract a float32 one-hot of the destination indices against the
-    update values on the MXU. The one-hot operand runs at DEFAULT precision
-    (0/1 is bf16-exact) while the update operand is HIGHEST (split into
-    bf16 passes covering the full f32 mantissa), so every product is the
-    exact f32 update value and accumulation is f32: the result matches
-    XLA's native scatter-add bit-for-bit up to summation order, which is
-    fixed by the scan — fully deterministic, unlike the reference's
-    atomicAdd (tf_grouping_g.cu:61-78).
+    Scans over update chunks and contracts a float32 one-hot of the
+    destination indices against the update values on the MXU; summation
+    order is fixed by the scan — fully deterministic, unlike the
+    reference's atomicAdd (tf_grouping_g.cu:61-78). Product precision
+    follows ``ops.dispatch.scatter_precision()``:
+
+    - "exact" (default): the update operand runs at HIGHEST precision
+      (split into bf16 passes covering the full f32 mantissa; the one-hot
+      operand stays single-pass — 0/1 is bf16-exact), so every product is
+      the exact f32 update value and the result matches XLA's native
+      scatter-add up to summation order. Matches the reference's f32
+      atomicAdd products. Measured cost ~24.8 ms over the live SA backward
+      shapes at B=8 (same as XLA's native scatter).
+    - "fast_bf16": single-pass TPU einsum — update values are bf16-rounded
+      before the multiply (~1e-3 relative error on the gradient), 16.2 ms
+      over the same shapes (~13% faster full train step). The round-2
+      "MXU one-hot 2x over XLA scatter" result was this mode; the speedup
+      comes from the truncation, not the formulation
+      (benchmarks/scatter_bench.py).
 
     Args:
       g: (B, M, S, C) update values (cotangent of the gathered output).
@@ -203,6 +211,13 @@ def scatter_add_mxu(
     Returns:
       (B, N, C) float32 accumulated gradient.
     """
+    from votenet_tpu.ops.dispatch import scatter_precision
+
+    upd_precision = (
+        lax.Precision.HIGHEST
+        if scatter_precision() == "exact"
+        else lax.Precision.DEFAULT
+    )
     B, M, S, C = g.shape
     K = M * S
     chunk = min(chunk, K)
@@ -220,7 +235,7 @@ def scatter_add_mxu(
         return acc + jnp.einsum(
             "bkn,bkc->bnc", oh, gk,
             preferred_element_type=jnp.float32,
-            precision=(lax.Precision.DEFAULT, lax.Precision.HIGHEST),
+            precision=(lax.Precision.DEFAULT, upd_precision),
         ), None
 
     acc0 = jnp.zeros((B, num_rows, C), jnp.float32)

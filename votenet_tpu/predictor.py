@@ -41,10 +41,10 @@ class VoteNetPredictor:
     ):
         from votenet_tpu.models.decode import predict_boxes
         from votenet_tpu.models.votenet import VoteNet
-        from votenet_tpu.ops.dispatch import set_use_pallas
+        from votenet_tpu.ops.dispatch import apply_config
 
         self.config = config or default_config()
-        set_use_pallas(self.config.use_pallas)
+        apply_config(self.config)
         self.batch_size = batch_size
         model = VoteNet(self.config)
 
