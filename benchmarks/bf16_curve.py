@@ -1,10 +1,17 @@
-"""bf16-vs-f32 training validation: convergence curve + step-time delta.
+"""Precision-mode training validation: convergence curves + step-time deltas.
 
 Trains the full-size model on 16 synthetic scenes with the reference recipe
-twice — compute_dtype f32 and bfloat16 (params/optimizer stay f32 in both;
-bf16 only affects MLP/conv compute, models/votenet.py) — and prints a
-loss-curve table plus sustained step time for each. Results recorded in
-DESIGN.md.
+under three precision modes (params/optimizer stay f32 in all):
+
+  float32  — everything f32 (production default)
+  mixed    — Config.mixed_precision: f32 coordinates/sa1/voting, bf16 for
+             the wide sa2+/FP/proposal feature gathers + matmuls (the
+             recipe the round-2 bf16 post-mortem called for)
+  bfloat16 — compute_dtype=bfloat16 everywhere (known convergence-negative:
+             quantizes absolute coordinates; kept as the control)
+
+Prints a loss-curve table plus sustained step time per mode. Results
+recorded in DESIGN.md.
 
   python benchmarks/bf16_curve.py [steps]
 """
@@ -32,7 +39,10 @@ def run_one(dtype: str, steps: int):
     from votenet_tpu.train.loop import make_train_step
     from votenet_tpu.train.state import create_train_state
 
-    cfg = default_config().replace(batch_size=8, compute_dtype=dtype)
+    if dtype == "mixed":
+        cfg = default_config().replace(batch_size=8, mixed_precision=True)
+    else:
+        cfg = default_config().replace(batch_size=8, compute_dtype=dtype)
     scenes = synthetic_scenes(0, cfg, 16)
     batches = list(batch_scenes(iter(scenes), cfg.batch_size, cfg.max_gt_boxes))
     state = create_train_state(jax.random.PRNGKey(0), cfg, steps_per_epoch=len(batches))
@@ -66,19 +76,25 @@ def run_one(dtype: str, steps: int):
 def main(steps: int = 2000):
     rows = {}
     sps = {}
-    for dtype in ("float32", "bfloat16"):
+    for dtype in ("float32", "mixed", "bfloat16"):
         print(f"=== {dtype} ===", flush=True)
         rows[dtype], sps[dtype] = run_one(dtype, steps)
         for k, (l, oa, sa) in sorted(rows[dtype].items()):
             print(f"step {k}: loss {l:.4f} obj_acc {oa:.3f} sem_acc {sa:.3f}", flush=True)
         print(f"sustained: {sps[dtype]:.1f} scenes/s", flush=True)
 
-    print("\n| steps | f32 loss | bf16 loss | f32 obj/sem acc | bf16 obj/sem acc |")
-    print("|---|---|---|---|---|")
+    print("\n| steps | f32 loss | mixed loss | bf16 loss | f32 acc | mixed acc | bf16 acc |")
+    print("|---|---|---|---|---|---|---|")
+    nan3 = (float("nan"),) * 3
     for k in sorted(rows["float32"]):
-        f, b = rows["float32"][k], rows["bfloat16"].get(k, (float("nan"),) * 3)
-        print(f"| {k} | {f[0]:.3f} | {b[0]:.3f} | {f[1]:.2f}/{f[2]:.2f} | {b[1]:.2f}/{b[2]:.2f} |")
+        f = rows["float32"][k]
+        m = rows["mixed"].get(k, nan3)
+        b = rows["bfloat16"].get(k, nan3)
+        print(f"| {k} | {f[0]:.3f} | {m[0]:.3f} | {b[0]:.3f} | "
+              f"{f[1]:.2f}/{f[2]:.2f} | {m[1]:.2f}/{m[2]:.2f} | {b[1]:.2f}/{b[2]:.2f} |")
     print(f"\nstep-time: f32 {sps['float32']:.1f} scenes/s, "
+          f"mixed {sps['mixed']:.1f} scenes/s "
+          f"({sps['mixed'] / sps['float32']:.2f}x), "
           f"bf16 {sps['bfloat16']:.1f} scenes/s "
           f"({sps['bfloat16'] / sps['float32']:.2f}x)")
 

@@ -72,6 +72,11 @@ class Config:
     bn_momentum: float = 0.9     # tensorpack BatchNorm default decay
     bn_eps: float = 1e-5
     compute_dtype: str = "float32"   # "bfloat16" to run MLPs on MXU in bf16
+    mixed_precision: bool = False    # f32 coordinates/sa1/voting + bf16 for
+                                     # the wide sa2+/FP/proposal feature
+                                     # gathers and matmuls (the recipe from
+                                     # the bf16 post-mortem, DESIGN.md; only
+                                     # meaningful with compute_dtype=float32)
     use_pallas: bool = True      # Pallas kernels on TPU; False forces the XLA
                                  # twins everywhere (applied at entry points
                                  # via ops.dispatch.apply_config)

@@ -54,7 +54,7 @@ class CenteredDense(nn.Module):
     @nn.compact
     def __call__(
         self,
-        g_raw: jnp.ndarray,
+        g_raw,
         center: jnp.ndarray,
         idx: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
@@ -72,7 +72,21 @@ class CenteredDense(nn.Module):
         Cin-float rows (12 bytes at sa1 — far
         below the HBM sector size) to `features`-float rows, and the matmul
         runs over N unique points instead of M*S grouped duplicates.
+
+        Mixed precision: ``g_raw`` may instead be an ``(xyz_src, feat_src)``
+        TUPLE (the split path, Config.mixed_precision). Coordinates travel
+        f32 end-to-end — the kernel's first 3 rows contract against f32 xyz
+        and the f32 center, and the cancellation-sensitive
+        ``g_xyz@W3 - c@W3`` subtraction happens in f32 BEFORE any cast —
+        while the wide feature operand runs in ``self.dtype`` (bf16):
+        feature gathers/matmuls move half the HBM bytes, which is the
+        binding resource (bench.py roofline: the model runs at the HBM
+        bandwidth peak). The absolute-coordinate quantization that broke
+        bf16-everywhere training (DESIGN.md bf16 post-mortem) cannot occur
+        here by construction.
         """
+        if isinstance(g_raw, tuple):
+            return self._split_call(g_raw, center, idx)
         kernel = self.param(
             "kernel", KERNEL_INIT, (g_raw.shape[-1], self.features), jnp.float32
         )
@@ -85,6 +99,33 @@ class CenteredDense(nn.Module):
             h = ops.group_point(h, idx)  # (B, M, S, features)
         corr = center @ kernel[:3]  # (B, M, features)
         return h - corr[:, :, None, :] + bias
+
+    def _split_call(self, srcs, center, idx):
+        """Mixed-precision path: f32 coordinates, self.dtype (bf16) features.
+
+        srcs = (xyz_src, feat_src). With ``idx``: per-point (B, N, 3)/(B, N,
+        Cf) sources, features projected before the gather. Without: already
+        grouped (B, M, S, 3)/(B, M, S, Cf). Same parameters as the fused
+        path (one (3+Cf, features) kernel), so checkpoints stay
+        interchangeable across modes.
+        """
+        xyz_src, feat_src = srcs
+        cin = 3 + feat_src.shape[-1]
+        kernel = self.param("kernel", KERNEL_INIT, (cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        k_xyz = kernel[:3]  # f32
+        k_feat = kernel[3:].astype(self.dtype)
+        feat_src = feat_src.astype(self.dtype)
+        if idx is not None:
+            h_feat = ops.group_point(feat_src @ k_feat, idx)  # wide, bf16
+            g_xyz = ops.group_point(xyz_src, idx)  # narrow, f32
+        else:
+            h_feat = feat_src @ k_feat
+            g_xyz = xyz_src
+        # exact f32 geometry: (g_xyz - c) @ W3, folded; cast only AFTER the
+        # subtraction (the centered offsets are small-scale — bf16-safe)
+        h_xyz = g_xyz @ k_xyz - (center @ k_xyz)[:, :, None, :]
+        return h_xyz.astype(self.dtype) + h_feat + bias.astype(self.dtype)
 
 
 class MLPStack(nn.Module):
@@ -206,6 +247,10 @@ class PointNetSAModule(nn.Module):
     dtype: jnp.dtype = jnp.float32
     bn_momentum: float = BN_MOMENTUM
     bn_eps: float = BN_EPS
+    # mixed precision (Config.mixed_precision): gather/contract the wide
+    # feature operand in self.dtype (bf16) while coordinates stay f32 —
+    # see CenteredDense._split_call. Requires the fused path.
+    split_coords: bool = False
 
     def _mlp_stack(self, widths, name, final_activation=True):
         return MLPStack(
@@ -260,7 +305,21 @@ class PointNetSAModule(nn.Module):
             # scenes/s — the backward cost is not sa1-specific: the dW
             # chain serializes behind the dh scatter — so training is
             # gather-first at every layer)
-            if train:
+            if self.split_coords and points is not None:
+                # mixed precision: separate narrow-f32 xyz and wide-bf16
+                # feature gathers (the fused wide gather would force one
+                # common dtype — f32 coords with bf16 features need two)
+                feat_src = points.astype(self.dtype)
+                if train:
+                    g = (ops.group_point(xyz, idx), ops.group_point(feat_src, idx))
+                    new_points = self._mlp_stack(self.mlp, "mlp")(
+                        g, train, center=new_xyz
+                    )
+                else:
+                    new_points = self._mlp_stack(self.mlp, "mlp")(
+                        (xyz, feat_src), train, center=new_xyz, idx=idx
+                    )
+            elif train:
                 g_raw = ops.group_point(both, idx)
                 new_points = self._mlp_stack(self.mlp, "mlp")(
                     g_raw, train, center=new_xyz
@@ -361,11 +420,17 @@ class PointNetFPModule(nn.Module):
 
     @nn.compact
     def __call__(self, xyz1, xyz2, points1, points2, train: bool):
+        # three_nn + weights always run on f32 coordinates; under mixed
+        # precision only the (wide) feature interpolation/concat runs in the
+        # feature dtype — weights are O(1), bf16-safe
         dist, idx = ops.three_nn(xyz1, xyz2)
         dist = jnp.maximum(dist, 1e-10)  # squared dists (utils.py:279)
         inv = 1.0 / dist
         weight = inv / jnp.sum(inv, axis=2, keepdims=True)
-        interpolated = ops.three_interpolate(points2, idx, weight)
+        points2 = points2.astype(self.dtype)
+        if points1 is not None:
+            points1 = points1.astype(self.dtype)
+        interpolated = ops.three_interpolate(points2, idx, weight.astype(self.dtype))
         if points1 is not None:
             new_points = jnp.concatenate([interpolated, points1], axis=2)
         else:

@@ -77,6 +77,15 @@ class VoteNet(nn.Module):
     def __call__(self, points: jnp.ndarray, train: bool = False) -> Dict[str, Any]:
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
+        # Mixed precision (Config.mixed_precision): every COORDINATE path
+        # stays f32 (sa1 entirely — its features ARE raw coordinates — plus
+        # all FPS/ball-query/center math and the voting stack, whose output
+        # offsets feed vote coordinates); the wide sa2+/FP/proposal feature
+        # gathers + matmuls run bf16 via the split CenteredDense. This is
+        # the recipe the bf16-everywhere post-mortem called for (DESIGN.md):
+        # the model is HBM-bandwidth-bound, and features are the bytes.
+        mixed = cfg.mixed_precision and dtype == jnp.float32
+        feat_dtype = jnp.bfloat16 if mixed else dtype
 
         l0_xyz = points
         l0_points = points  # the reference feeds xyz as the l0 features (model.py:35-36)
@@ -96,7 +105,8 @@ class VoteNet(nn.Module):
                 radius=cfg.sa_radii[i],
                 nsample=cfg.sa_nsamples[i],
                 mlp=cfg.sa_mlps[i],
-                dtype=dtype,
+                dtype=feat_dtype if (mixed and i > 0) else dtype,
+                split_coords=mixed and i > 0,
                 name=f"sa{i + 1}",
                 **bn_kw,
             )(xyz, feats, train)
@@ -104,17 +114,23 @@ class VoteNet(nn.Module):
 
         (l1_xyz, l1_points), (l2_xyz, l2_points), (l3_xyz, l3_points), (l4_xyz, l4_points) = sa_out
 
-        l3_points = PointNetFPModule(cfg.fp_mlps[0], dtype=dtype, name="fp1", **bn_kw)(
-            l3_xyz, l4_xyz, l3_points, l4_points, train
-        )
-        seeds_points = PointNetFPModule(cfg.fp_mlps[1], dtype=dtype, name="fp2", **bn_kw)(
-            l2_xyz, l3_xyz, l2_points, l3_points, train
-        )
+        # FP stays f32 even in mixed mode: its tensors are small (<= 1024
+        # positions) and the seed features feed the vote/proposal geometry
+        l3_points = PointNetFPModule(
+            cfg.fp_mlps[0], dtype=dtype, name="fp1", **bn_kw
+        )(l3_xyz, l4_xyz, l3_points.astype(dtype), l4_points.astype(dtype), train)
+        seeds_points = PointNetFPModule(
+            cfg.fp_mlps[1], dtype=dtype, name="fp2", **bn_kw
+        )(l2_xyz, l3_xyz, l2_points.astype(dtype), l3_points, train)
         seeds_xyz = l2_xyz
 
         # Voting: offsets applied to the concatenated (xyz, feature) seed
-        # state — votes shift coordinates AND features (model.py:60)
-        seed_state = jnp.concatenate([seeds_xyz, seeds_points], axis=2)
+        # state — votes shift coordinates AND features (model.py:60).
+        # Mixed mode: the voting stack stays f32 (its output offsets the
+        # vote COORDINATES; the seed tensor is small — 1024 positions)
+        seed_state = jnp.concatenate(
+            [seeds_xyz, seeds_points.astype(dtype)], axis=2
+        )
         offset = VotingModule(tuple(cfg.vote_units), dtype=dtype, name="voting", **bn_kw)(
             seed_state, train
         )
@@ -123,6 +139,8 @@ class VoteNet(nn.Module):
         votes_points = votes[:, :, 3:]
 
         # Proposal: FPS on seeds, gather votes (model.py:89-93, utils.py:42-43)
+        # the proposal module (and its 79-channel head, whose outputs are
+        # center/heading/size RESIDUALS) stays f32 in mixed mode
         proposals_xyz, proposals_output, _ = PointNetSAModule(
             npoint=cfg.proposal_num,
             radius=cfg.proposal_radius,
