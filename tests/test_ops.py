@@ -69,6 +69,71 @@ class TestQueryBall:
         assert (first <= np.arange(32)).all()
 
 
+from votenet_tpu.ops.grouping import (
+    query_ball_point_dense,
+    query_ball_point_topk,
+)
+
+
+class TestQueryBallBoundary:
+    """Pins the DOCUMENTED DEVIATION in ops/grouping.py: the production
+    query's mm-expansion distances may flip membership only within a
+    few-ulp band of the radius boundary."""
+
+    RADIUS = 0.5
+
+    def _constructed_cloud(self):
+        # one query at a known offset origin plus points at controlled radii
+        q = np.array([[0.37, -1.21, 2.83]], np.float32)  # awkward mantissas
+        r = self.RADIUS
+        # distances well inside, 4-ulp inside, exactly at, 4-ulp outside,
+        # well outside (ulp measured at the r^2 = 0.25 scale)
+        eps = 4 * np.spacing(np.float32(r * r)) / (2 * r)  # distance-space
+        dists = [0.1, r - 5e-4, r - eps, r, r + eps, r + 5e-4, 1.0,
+                 2.0, 3.0, 4.0]  # padding: clearly outside (N > nsample)
+        dirs = np.array([
+            [1, 0, 0], [0, 1, 0], [0, 0, 1], [-1, 0, 0],
+            [0, -1, 0], [0, 0, -1], [0.6, 0.8, 0],
+            [0, 0.6, 0.8], [0.8, 0, 0.6], [-0.6, -0.8, 0],
+        ], np.float64)
+        pts = (q.astype(np.float64) + dirs * np.asarray(dists)[:, None]).astype(np.float32)
+        return pts[None], q[None]
+
+    def test_clear_points_match_exact_oracle(self):
+        """Points >= 4 ulps from the boundary classify identically to the
+        exact-distance oracle (the deviation band is narrower than that)."""
+        xyz1, q = self._constructed_cloud()
+        got_idx, got_cnt = query_ball_point_dense(self.RADIUS, 8, xyz1, q)
+        ref_idx, ref_cnt = query_ball_point_topk(self.RADIUS, 8, xyz1, q)
+        # recompute membership for the CLEAR points only (0, 1, 5, 6 are
+        # well inside/outside; 2-4 sit inside the allowed deviation band)
+        got_set = set(np.asarray(got_idx)[0, 0, : int(got_cnt[0, 0])].tolist())
+        ref_set = set(np.asarray(ref_idx)[0, 0, : int(ref_cnt[0, 0])].tolist())
+        for clear_in in (0, 1):
+            assert clear_in in got_set and clear_in in ref_set
+        for clear_out in (5, 6):
+            assert clear_out not in got_set and clear_out not in ref_set
+
+    def test_oracle_is_exact_and_strict(self):
+        """The topk oracle (exact distances) implements the reference's
+        strict comparison: a point exactly AT the radius is NOT a hit."""
+        xyz1, q = self._constructed_cloud()
+        # exact-at-radius point is index 3; but float32 representation of
+        # q + r*dir may not land exactly at distance r — check against the
+        # true f32 distance instead of assuming
+        d = np.linalg.norm(
+            xyz1[0].astype(np.float64) - q[0].astype(np.float64), axis=-1
+        )
+        ref_idx, ref_cnt = query_ball_point_topk(self.RADIUS, 8, xyz1, q)
+        ref_set = set(np.asarray(ref_idx)[0, 0, : int(ref_cnt[0, 0])].tolist())
+        # strictness on the exact form: membership == (f32 dist2 < r2)
+        d2_f32 = np.sum(
+            (xyz1[0] - q[0]) ** 2, axis=-1, dtype=np.float32
+        ).astype(np.float32)
+        want = {i for i in range(len(d)) if d2_f32[i] < np.float32(self.RADIUS) ** 2}
+        assert ref_set == want
+
+
 class TestGroupPoint:
     def test_forward(self, rng):
         pts = rng.randn(2, 40, 6).astype(np.float32)

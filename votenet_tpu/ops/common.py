@@ -19,9 +19,11 @@ def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
     Computed as an explicit difference-square-sum (XLA fuses this into a
     single loop, nothing 4-D hits HBM) rather than the matmul expansion
-    ``|a|^2+|b|^2-2ab`` — the direct form is exact, which matters because the
-    ball-query radius test is a strict comparison whose outcome feeds integer
-    indices (reference semantics tf_grouping_g.cu:24-25).
+    ``|a|^2+|b|^2-2ab`` — the direct form is exact. Used by the oracle /
+    parity paths (query_ball_point_topk, knn_point, three_nn). The
+    PRODUCTION ball query deliberately uses the mm expansion instead —
+    exactness there measured +41.6% at sa1 for a few-ulp boundary band; see
+    the DOCUMENTED DEVIATION note in :mod:`votenet_tpu.ops.grouping`.
     """
     diff = a[..., :, None, :] - b[..., None, :, :]
     return jnp.sum(diff * diff, axis=-1)

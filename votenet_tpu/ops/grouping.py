@@ -16,6 +16,21 @@ Parity-critical semantics of ``query_ball_point`` (tf_grouping_g.cu:13-35):
 If a query ball is empty the reference leaves the row uninitialized (never
 happens in the model: every query point is a member of the dataset cloud, so
 it always hits itself). We define the empty case as index 0.
+
+DOCUMENTED DEVIATION — radius-boundary rounding (the ONE authoritative
+statement; module docstrings elsewhere defer here):
+:func:`query_ball_point_dense` (and therefore the streaming variant built
+on it) computes squared distances with the MXU matmul expansion
+``|a|^2+|b|^2-2ab`` (:func:`votenet_tpu.ops.common.pairwise_sqdist_mm`),
+which can differ from the exact difference-square form by a few ulps. The
+strict ``dist2 < radius^2`` test can therefore flip membership ONLY for
+points whose true distance is within that few-ulp band of the radius —
+tests/test_ops.py::TestQueryBallBoundary pins that points even 4 ulps away
+from the boundary classify identically to the exact oracle. Making the hit
+mask exact was measured at +41.6% ball-query time at sa1 (7.9 -> 11.2 ms,
+v5e round 3) for a condition that is measure-zero in real data; the
+deviation is accepted. :func:`query_ball_point_topk` (the oracle) uses the
+exact form and has reference-identical semantics bit-for-bit.
 """
 
 from __future__ import annotations
@@ -94,9 +109,10 @@ def query_ball_point_dense(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2:
     per-chunk hit counts + exclusive cumsum locate, for every output slot s,
     the chunk containing the (s+1)-th hit; a gather of just those chunks'
     masks plus an in-chunk rank match yields the lane. O(M*N) for the mask +
-    O(M*nsample*128) for the search — no sort anywhere. Semantics identical
-    to the CUDA scan (tf_grouping_g.cu:13-35), including index order and the
-    fill-with-first-hit rule.
+    O(M*nsample*128) for the search — no sort anywhere. Selection semantics
+    (index order, fill-with-first-hit, saturated counts) match the CUDA
+    scan (tf_grouping_g.cu:13-35) exactly; the radius test itself carries
+    the few-ulp mm-expansion deviation documented at the top of this module.
     """
     xyz1 = xyz1.astype(jnp.float32)
     xyz2 = xyz2.astype(jnp.float32)
@@ -111,9 +127,8 @@ def query_ball_point_dense(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2:
     # flags, per-chunk counts <= 128, chunk ids <= 160, ranks <= 128 — is an
     # integer <= 256, exactly representable in bf16); the earlier int/bool
     # formulation hit pathological S8 layouts on TPU.
-    # d2 uses the matmul expansion (MXU): ~1-ulp different from the exact
-    # difference-square form, which can only flip membership of points
-    # floating-point-close to the radius boundary — immaterial to the model.
+    # d2: the mm expansion — see the DOCUMENTED DEVIATION in the module
+    # docstring (exactness measured +41.6% at sa1; boundary band tested).
     bf16 = jnp.bfloat16
     d2 = pairwise_sqdist_mm(xyz2, xyz1)  # (B, M, N)
     hit = (d2 < jnp.float32(radius) ** 2).astype(bf16)
