@@ -33,6 +33,11 @@ SHAPES = {
     "sa3": (1024, 512, 64, 259),
     "sa4": (512, 256, 64, 259),
     "prop": (1024, 256, 64, 259),
+    # live train widths after coord-grad narrowing (grad_skip_prefix=3 drops
+    # the xyz columns from the backbone backward; sa1 scatter disappears)
+    "sa2n": (2048, 1024, 64, 128),
+    "sa3n": (1024, 512, 64, 256),
+    "sa4n": (512, 256, 64, 256),
 }
 
 
@@ -154,6 +159,7 @@ def scatter_sort(g, idx, N):
 def main():
     from votenet_tpu.ops import query_ball_point
     from votenet_tpu.ops.grouping import scatter_add_mxu
+    from votenet_tpu.ops.pallas.scatter import scatter_add_pallas
 
     rng = np.random.RandomState(0)
     for name, (N, M, S, C) in SHAPES.items():
@@ -176,6 +182,11 @@ def main():
             # at DEFAULT (0/1 is bf16-exact). ADVICE r2: plain DEFAULT
             # bf16-truncated every gradient update on TPU.
             ("oh_hp", functools.partial(scatter_add_mxu, num_rows=N)),
+            # Pallas VMEM-resident one-hot kernel (ops/pallas/scatter.py):
+            # the one-hot never round-trips HBM. pl3 = exact (hi/mid/lo bf16
+            # split covering the f32 mantissa), pl1 = single bf16 pass.
+            ("pl3", functools.partial(scatter_add_pallas, num_rows=N, passes=3)),
+            ("pl1", functools.partial(scatter_add_pallas, num_rows=N, passes=1)),
         ]:
             jit_fn = jax.jit(lambda g, idx, fn=fn: fn(g, idx))
             try:

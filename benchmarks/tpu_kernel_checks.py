@@ -72,6 +72,36 @@ def main():
     err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
     assert err < 1e-5, f"exact scatter rel-err {err:.2e} on TPU"
     print(f"scatter exact-mode compiled ok  rel-err {err:.2e}", flush=True)
+
+    # Pallas VMEM scatter, compiled: exact (3-pass) must match the f64 oracle
+    # to f32 roundoff at every live narrowed shape; fast (1-pass) to bf16
+    # rounding. Also exercises the chunk chooser's VMEM model on hardware.
+    from votenet_tpu.ops.grouping import _pallas_scatter_chunk
+    from votenet_tpu.ops.pallas.scatter import scatter_add_pallas
+
+    for (Bv, Mv, Sv, Cv, Nv) in [
+        (8, 1024, 64, 128, 2048),   # sa2 narrowed
+        (8, 512, 64, 256, 1024),    # sa3 narrowed
+        (8, 256, 64, 259, 1024),    # proposal (coord grad live)
+        (2, 20, 5, 7, 40),          # unaligned smoke
+    ]:
+        g = rng.randn(Bv, Mv, Sv, Cv).astype(np.float32)
+        idx = rng.randint(0, Nv, (Bv, Mv, Sv)).astype(np.int32)
+        want = np.zeros((Bv, Nv, Cv), np.float64)
+        for b in range(Bv):
+            np.add.at(want[b], idx[b].reshape(-1), g[b].reshape(-1, Cv).astype(np.float64))
+        kt = _pallas_scatter_chunk(Bv, Mv * Sv, Nv, Cv, 3)
+        assert kt is not None, f"chunk chooser rejected N={Nv} C={Cv}"
+        got = np.asarray(scatter_add_pallas(jnp.asarray(g), jnp.asarray(idx), Nv, passes=3, chunk=kt))
+        err = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
+        assert err < 1e-5, f"pallas exact rel-err {err:.2e} at N={Nv} C={Cv}"
+        got1 = np.asarray(scatter_add_pallas(jnp.asarray(g), jnp.asarray(idx), Nv, passes=1, chunk=kt))
+        err1 = np.max(np.abs(got1 - want)) / (np.max(np.abs(want)) + 1e-9)
+        assert err1 < 3e-2, f"pallas fast rel-err {err1:.2e} at N={Nv} C={Cv}"
+        print(f"pallas scatter compiled ok  N={Nv} C={Cv} kt={kt} "
+              f"exact {err:.2e} fast {err1:.2e}", flush=True)
+    # the sa1 shape must be rejected by the VMEM model (compiled OOM otherwise)
+    assert _pallas_scatter_chunk(8, 2048 * 64, 20480, 3, 3) is None
     print("ALL COMPILED KERNEL CHECKS PASSED")
 
 

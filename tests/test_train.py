@@ -204,3 +204,53 @@ class TestMeshShapeValidation:
 
         mesh = make_mesh(jax.devices()[:8], shape=(-1, 2), axis_names=("data", "model"))
         assert mesh.devices.shape == (4, 2)
+
+
+@pytest.mark.slow
+class TestCoordGradNarrowing:
+    """The backbone SA layers declare xyz non-differentiable (coord_grad=
+    False) so the fused gather's backward scatters only the MXU-aligned
+    feature block. Load-bearing assertion: backbone coordinates derive only
+    from the param-free input cloud, so no parameter gradient may change."""
+
+    def test_param_grads_identical(self):
+        from votenet_tpu.data.dataflow import batch_scenes
+        from votenet_tpu.data.synthetic import synthetic_scenes
+        from votenet_tpu.models import votenet as vn
+        from votenet_tpu.models.losses import votenet_loss
+        from votenet_tpu.train.state import create_train_state
+
+        cfg = smoke_config()
+        state = create_train_state(jax.random.PRNGKey(0), cfg, steps_per_epoch=4)
+        batch = list(
+            batch_scenes(iter(synthetic_scenes(0, cfg, 2)), 2, cfg.max_gt_boxes)
+        )[0]
+
+        def grads(force_coord_grad):
+            orig = vn.PointNetSAModule
+            if force_coord_grad:
+                # build the model with coord_grad=True everywhere (the
+                # mathematically-unnarrowed baseline)
+                vn.PointNetSAModule = lambda **kw: orig(
+                    **{**kw, "coord_grad": True}
+                )
+            try:
+                model = vn.VoteNet(cfg)
+
+                def loss_fn(params):
+                    out, _ = model.apply(
+                        {"params": params, "batch_stats": state.batch_stats},
+                        batch["points"],
+                        True,
+                        mutable=["batch_stats"],
+                    )
+                    return votenet_loss(out, batch, cfg)[0]
+
+                return jax.grad(loss_fn)(state.params)
+            finally:
+                vn.PointNetSAModule = orig
+
+        g_wired = jax.tree_util.tree_leaves(grads(False))
+        g_full = jax.tree_util.tree_leaves(grads(True))
+        for a, b in zip(g_wired, g_full):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -107,6 +107,12 @@ class VoteNet(nn.Module):
                 mlp=cfg.sa_mlps[i],
                 dtype=feat_dtype if (mixed and i > 0) else dtype,
                 split_coords=mixed and i > 0,
+                # backbone coordinates derive only from the param-free input
+                # cloud -> no gradient; lets the fused gather's backward
+                # scatter run at MXU-aligned feature width (PointNetSAModule
+                # .coord_grad). The proposal layer below keeps the default
+                # (its xyz are votes, which carry gradient).
+                coord_grad=False,
                 name=f"sa{i + 1}",
                 **bn_kw,
             )(xyz, feats, train)

@@ -36,6 +36,7 @@ exact form and has reference-identical semantics bit-for-bit.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -260,24 +261,92 @@ def scatter_add_mxu(
     return acc
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _group_point_tpu(N: int, points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def _pallas_scatter_chunk(B: int, K: int, N: int, C: int, passes: int):
+    """Largest update-chunk for ops.pallas.scatter that fits scoped VMEM.
+
+    The kernel keeps the (N, Kt) one-hot, the (N, C) accumulator, the
+    double-buffered update block, the resident index array and the bf16
+    split terms in VMEM; Mosaic's scoped limit is 16 MB. The byte model
+    below reproduces the compiler's reported scoped sizes on the live
+    shapes (e.g. 30.78 MB for the N=20480 sa1 case, which correctly
+    falls back). Returns None when no chunk fits (→ scatter_add_mxu).
+    """
+    lanes = 128
+    n_pad = -(-N // lanes) * lanes
+    c_pad = -(-C // lanes) * lanes
+    for kt in (2048, 1024, 512, 256, 128):
+        k_pad = -(-max(K, 1) // kt) * kt
+        bytes_est = (
+            n_pad * kt * 2          # one-hot (bf16), built in VMEM
+            + n_pad * c_pad * 4     # accumulator block
+            + 2 * kt * c_pad * 4    # double-buffered update block
+            + B * k_pad * 4         # whole index array stays resident
+            + passes * kt * c_pad * 2  # bf16 split terms
+        )
+        if bytes_est <= 12 * 1024 * 1024:
+            return kt
+    return None
+
+
+def scatter_add(g: jnp.ndarray, idx: jnp.ndarray, num_rows: int) -> jnp.ndarray:
+    """group_point-VJP scatter: Pallas VMEM kernel when it fits, else the
+    scanned MXU einsum. Both honor ``ops.dispatch.scatter_precision()``
+    ("exact" = full-f32-mantissa products, "fast_bf16" = one bf16 pass);
+    both are deterministic. Measured (benchmarks/scatter_bench.py chunk
+    sweep, v5e, narrowed live shapes sa2n..prop at B=8): exact 13.9 → 12.8
+    ms, fast 11.7 → 7.7 ms — the Pallas kernel builds the one-hot in VMEM
+    instead of round-tripping it through HBM.
+    """
+    from votenet_tpu.ops.dispatch import scatter_precision, use_pallas
+
+    passes = 3 if scatter_precision() == "exact" else 1
+    if use_pallas():
+        B = g.shape[0]
+        C = g.shape[-1]
+        K = math.prod(g.shape[1:-1])
+        kt = _pallas_scatter_chunk(B, K, num_rows, C, passes)
+        if kt is not None:
+            from votenet_tpu.ops.pallas.scatter import scatter_add_pallas
+
+            return scatter_add_pallas(g, idx, num_rows, passes=passes, chunk=kt)
+    return scatter_add_mxu(g, idx, num_rows)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _group_point_tpu(
+    N: int, grad_skip: int, points: jnp.ndarray, idx: jnp.ndarray
+) -> jnp.ndarray:
     return _group_point_gather(points, idx)
 
 
-def _group_point_tpu_fwd(N, points, idx):
+def _group_point_tpu_fwd(N, grad_skip, points, idx):
     return _group_point_gather(points, idx), idx
 
 
-def _group_point_tpu_bwd(N, idx, g):
+def _group_point_tpu_bwd(N, grad_skip, idx, g):
     # the cotangent dtype equals the primal dtype (gather preserves dtype)
-    return scatter_add_mxu(g, idx, N).astype(g.dtype), None
+    if grad_skip:
+        # the caller asserted channels [:grad_skip] are stop_gradient'd —
+        # scatter only the live feature block (MXU-lane-aligned: the model's
+        # fused [xyz ‖ feat] widths 131/259 become 128/256, halving the
+        # one-hot matmul tiles at sa2; measured 19.4 -> 10.4 ms across
+        # sa2..sa4 at B=8) and zero-fill the dead coordinate columns
+        d_feat = scatter_add(g[..., grad_skip:], idx, N)
+        B = d_feat.shape[0]
+        d = jnp.concatenate(
+            [jnp.zeros((B, N, grad_skip), d_feat.dtype), d_feat], axis=-1
+        )
+    else:
+        d = scatter_add(g, idx, N)
+    return d.astype(g.dtype), None
 
 
 _group_point_tpu.defvjp(_group_point_tpu_fwd, _group_point_tpu_bwd)
 
 
-def group_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def group_point(
+    points: jnp.ndarray, idx: jnp.ndarray, grad_skip_prefix: int = 0
+) -> jnp.ndarray:
     """Gather grouped features: (B, N, C), (B, M, S) -> (B, M, S, C).
 
     Differentiable w.r.t. ``points``. On TPU the VJP is the MXU one-hot
@@ -285,11 +354,21 @@ def group_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     gate off (``use_pallas()`` False, the hand-optimized-twins escape
     hatch) — it is XLA's native scatter-add. Both are deterministic,
     replacing the reference's atomicAdd scatter (tf_grouping_g.cu:61-78).
+
+    ``grad_skip_prefix=k`` declares that the cotangent of channels [:k] is
+    discarded (returned as zeros): the caller must only pass k > 0 when
+    those channels are non-differentiable — e.g. coordinate columns wrapped
+    in ``stop_gradient`` (the SA layers' xyz derives from the param-free
+    input cloud). The payoff is a narrower backward scatter whose width is
+    MXU-lane-aligned (128/256 instead of 131/259). Only the TPU
+    (``use_pallas()``) path narrows; the XLA fallback differentiates the
+    plain gather, whose extra coordinate cotangent is dead by the same
+    assertion (XLA DCEs it), so parameter gradients agree across backends.
     """
     from votenet_tpu.ops.dispatch import use_pallas
 
     if use_pallas():
-        return _group_point_tpu(points.shape[1], points, idx)
+        return _group_point_tpu(points.shape[1], grad_skip_prefix, points, idx)
     return _group_point_gather(points, idx)
 
 
