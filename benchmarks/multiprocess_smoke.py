@@ -29,7 +29,6 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-PORT = int(os.environ.get("SMOKE_PORT", "12421"))
 NPROC = 2
 DEV_PER_PROC = 4
 N_SCENES = 8
@@ -38,8 +37,9 @@ N_SCENES = 8
 def child(pid: int) -> None:
     import jax
 
+    port = int(os.environ["SMOKE_PORT"])
     jax.distributed.initialize(
-        coordinator_address=f"localhost:{PORT}", num_processes=NPROC, process_id=pid
+        coordinator_address=f"localhost:{port}", num_processes=NPROC, process_id=pid
     )
     assert jax.process_index() == pid
     assert jax.process_count() == NPROC
@@ -102,6 +102,16 @@ def child(pid: int) -> None:
     jax.distributed.shutdown()
 
 
+def _free_port() -> int:
+    """Ask the kernel for a currently-free TCP port (beats a pinned port,
+    which flaked in full-suite runs when a previous listener lingered)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
 def parent() -> int:
     env = {
         k: v for k, v in os.environ.items()
@@ -111,6 +121,7 @@ def parent() -> int:
         "JAX_PLATFORMS": "cpu",
         "PYTHONPATH": REPO,
         "XLA_FLAGS": f"--xla_force_host_platform_device_count={DEV_PER_PROC}",
+        "SMOKE_PORT": os.environ.get("SMOKE_PORT") or str(_free_port()),
     })
     procs = [
         subprocess.Popen(

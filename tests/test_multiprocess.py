@@ -20,12 +20,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_two_process_train_step():
     env = {
         k: v for k, v in os.environ.items()
-        if k not in ("PALLAS_AXON_POOL_IPS", "PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")
+        if k not in ("PALLAS_AXON_POOL_IPS", "PYTHONPATH", "JAX_PLATFORMS",
+                     "XLA_FLAGS", "SMOKE_PORT")
     }
-    env["SMOKE_PORT"] = "12431"  # distinct from manual runs
-    r = subprocess.run(
-        [sys.executable, os.path.join(REPO, "benchmarks", "multiprocess_smoke.py")],
-        env=env, capture_output=True, text=True, timeout=600, cwd=REPO,
-    )
+    # The smoke parent picks a free coordinator port itself.  Distributed
+    # init over localhost can still flake under full-suite load (coordinator
+    # handshake timeout), so allow one retry before declaring failure.
+    for attempt in (0, 1):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "benchmarks", "multiprocess_smoke.py")],
+            env=env, capture_output=True, text=True, timeout=600, cwd=REPO,
+        )
+        if r.returncode == 0:
+            break
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
     assert "MULTIPROCESS SMOKE PASSED" in r.stdout
