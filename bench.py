@@ -162,7 +162,9 @@ def _measure_train_step():
     cfg = default_config().replace(
         batch_size=BATCH,
         scatter_precision=os.environ.get("BENCH_SCATTER_PRECISION", "exact"),
+        bq_precision=os.environ.get("BENCH_BQ_PRECISION", "exact"),
         mixed_precision=bool(int(os.environ.get("BENCH_MIXED", "0"))),
+        remat=bool(int(os.environ.get("BENCH_REMAT", "0"))),
     )
     from votenet_tpu.ops.dispatch import apply_config
 

@@ -102,6 +102,39 @@ def main():
               f"exact {err:.2e} fast {err1:.2e}", flush=True)
     # the sa1 shape must be rejected by the VMEM model (compiled OOM otherwise)
     assert _pallas_scatter_chunk(8, 2048 * 64, 20480, 3, 3) is None
+
+    # ball query, exact mode, ON TPU: bit-identical indices AND counts vs
+    # the exact-difference-form oracle at every live model shape, on
+    # clustered clouds (the worst case for boundary density). This is what
+    # "exact" promises — the DEFAULT-precision einsum bf16-rounds the
+    # coordinate operands on TPU (cm-scale band, 35% sa1 idx flips), which
+    # CPU tests cannot catch. See the precision note in ops/grouping.py.
+    from votenet_tpu.ops.grouping import (
+        query_ball_point_dense,
+        query_ball_point_topk,
+    )
+
+    assert dispatch.bq_precision() == "exact"
+    for (Bq, Nq, Mq, rq, nsq) in [
+        (8, 20480, 2048, 0.2, 64),   # sa1
+        (8, 2048, 1024, 0.4, 64),    # sa2
+        (8, 1024, 512, 0.8, 64),     # sa3
+        (8, 512, 256, 1.2, 64),      # sa4
+        (8, 1024, 256, 0.3, 64),     # proposal
+    ]:
+        xyz1 = rng.uniform(-4, 4, (Bq, Nq, 3)).astype(np.float32)
+        xyz1[:, : Nq // 4] *= 0.12  # dense cluster -> busy radius boundary
+        xyz2 = xyz1[:, :Mq]
+        gi, gc = jax.jit(
+            lambda a, b: query_ball_point_dense(rq, nsq, a, b)
+        )(jnp.asarray(xyz1), jnp.asarray(xyz2))
+        wi, wc = jax.jit(
+            lambda a, b: query_ball_point_topk(rq, nsq, a, b)
+        )(jnp.asarray(xyz1), jnp.asarray(xyz2))
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+        np.testing.assert_array_equal(np.asarray(gc), np.asarray(wc))
+        print(f"ball query exact-mode compiled ok  B={Bq} N={Nq} M={Mq} r={rq}",
+              flush=True)
     print("ALL COMPILED KERNEL CHECKS PASSED")
 
 

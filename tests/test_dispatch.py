@@ -144,6 +144,56 @@ class TestScatterPrecisionGate:
         np.testing.assert_allclose(exact, fast, rtol=1e-6)
 
 
+class TestBqPrecisionGate:
+    def test_default_is_exact(self):
+        assert dispatch.bq_precision() == "exact"
+
+    def test_set_and_validate(self):
+        import pytest
+
+        dispatch.set_bq_precision("fast_bf16")
+        try:
+            assert dispatch.bq_precision() == "fast_bf16"
+        finally:
+            dispatch.set_bq_precision("exact")
+        with pytest.raises(ValueError, match="bq_precision"):
+            dispatch.set_bq_precision("wat")
+
+    def test_apply_config_wires_it(self):
+        from votenet_tpu.config import default_config
+
+        dispatch.apply_config(default_config(bq_precision="fast_bf16"))
+        try:
+            assert dispatch.bq_precision() == "fast_bf16"
+        finally:
+            dispatch.apply_config(default_config())
+            assert dispatch.bq_precision() == "exact"
+
+    def test_mode_flip_is_not_masked_by_jit_cache(self, rng):
+        """The mode is read OUTSIDE the op's jit (a fresh static arg per
+        mode), so flipping it after a first call must take effect. On CPU
+        both modes are f32-exact, so we assert equality both ways — the
+        point is that each call traces with its current mode (verified
+        bit-different on TPU hardware, tpu_kernel_checks.py)."""
+        from votenet_tpu.ops.grouping import (
+            _query_ball_point_dense,
+            query_ball_point_dense,
+        )
+
+        xyz1 = jnp.asarray(rng.uniform(-1, 1, (2, 64, 3)).astype(np.float32))
+        xyz2 = xyz1[:, :8]
+        i1, c1 = query_ball_point_dense(0.5, 8, xyz1, xyz2)
+        dispatch.set_bq_precision("fast_bf16")
+        try:
+            i2, c2 = query_ball_point_dense(0.5, 8, xyz1, xyz2)
+        finally:
+            dispatch.set_bq_precision("exact")
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        # each mode is its own jit specialization
+        assert _query_ball_point_dense._cache_size() >= 2
+
+
 class TestStrictConfigArgs:
     def test_misspelled_override_errors(self):
         """A typo'd --flag must error, not be silently dropped."""

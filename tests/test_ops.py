@@ -76,9 +76,13 @@ from votenet_tpu.ops.grouping import (
 
 
 class TestQueryBallBoundary:
-    """Pins the DOCUMENTED DEVIATION in ops/grouping.py: the production
-    query's mm-expansion distances may flip membership only within a
-    few-ulp band of the radius boundary."""
+    """Pins the precision contract in ops/grouping.py: in the default
+    "exact" mode the production query's mm-expansion distances (HIGHEST-
+    precision cross-term) may flip membership only within a few-ulp band of
+    the radius boundary — and on TPU hardware measure bit-identical to the
+    oracle at every live shape (benchmarks/tpu_kernel_checks.py). The
+    opt-in "fast_bf16" mode has a much wider (cm-scale) band on TPU and is
+    not exercised here."""
 
     RADIUS = 0.5
 

@@ -85,9 +85,15 @@ class Config:
                                  # or "fast_bf16" (~13% faster train step,
                                  # ~1e-3 relative gradient rounding — see
                                  # ops/dispatch.py)
-    remat: bool = False          # rematerialize SA/FP blocks in backward
-                                 # (trades ~15% step time for O(layers) less
-                                 # activation HBM — enables much larger batches)
+    bq_precision: str = "exact"  # ball-query distance cross-term: "exact"
+                                 # (f32 products -> reference-identical hit
+                                 # sets) or "fast_bf16" (single-pass MXU,
+                                 # cm-scale boundary band on TPU — see the
+                                 # deviation note in ops/grouping.py)
+    remat: bool = False          # rematerialize SA/FP blocks in backward:
+                                 # measured 32% SLOWER at B=8 (79.7 vs 116.3
+                                 # scenes/s, v5e round 3) — purely a memory
+                                 # knob for batches that don't otherwise fit
 
     # --- data (reference run.py:99,129) ---
     # GT-box rejection criterion (dataset.py:282). The reference tests

@@ -29,13 +29,20 @@ def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(diff * diff, axis=-1)
 
 
-def pairwise_sqdist_mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def pairwise_sqdist_mm(a: jnp.ndarray, b: jnp.ndarray, precision=None) -> jnp.ndarray:
     """MXU-friendly squared distances via the matmul expansion.
 
-    Faster for large M*N but inexact in the last few ulps; used where the
-    result feeds a continuous computation, not an index decision.
+    ``precision`` is forwarded to the cross-term einsum and MATTERS on TPU:
+    at the DEFAULT precision the MXU rounds the f32 coordinate operands to
+    bf16 (~0.4% relative — centimeter-scale at room scale), while
+    ``lax.Precision.HIGHEST`` splits them into bf16 passes covering the full
+    mantissa, leaving only few-ulp reassociation error vs the exact
+    difference form. Even HIGHEST is NOT safe for strict index decisions
+    (the reassociation band still flips ball-query slots at the larger
+    radii — measured on v5e); such callers use :func:`pairwise_sqdist`
+    in their exact mode instead (see ``ops.dispatch.bq_precision``).
     """
     a2 = jnp.sum(a * a, axis=-1)
     b2 = jnp.sum(b * b, axis=-1)
-    ab = jnp.einsum("...md,...nd->...mn", a, b)
+    ab = jnp.einsum("...md,...nd->...mn", a, b, precision=precision)
     return a2[..., :, None] + b2[..., None, :] - 2.0 * ab

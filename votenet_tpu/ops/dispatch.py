@@ -74,7 +74,38 @@ def scatter_precision() -> str:
     return _scatter_precision
 
 
+# --- ball-query distance precision (query_ball_point hit test) ---
+#
+# "exact":     the strict dist^2 < r^2 hit test uses the exact
+#              difference-square distance form (the oracle's own formula) —
+#              index/count outputs BIT-IDENTICAL to reference semantics by
+#              construction, verified at every live shape on v5e
+#              (benchmarks/tpu_kernel_checks.py). Default: grouped features
+#              are parity-critical inputs to everything downstream.
+# "fast_bf16": |a|^2+|b|^2-2ab MXU matmul — on TPU the coordinate operands
+#              are bf16-rounded (~0.4% relative), a CENTIMETER-scale
+#              boundary band at room scale: measured 35% of selected sa1
+#              indices and 1% of counts flip vs the oracle on clustered
+#              clouds. ~2.5 ms faster at sa1 (v5e round 3).
+_bq_precision: str = "exact"
+
+
+def set_bq_precision(mode: str) -> None:
+    """Set the ball-query distance mode ("exact" | "fast_bf16")."""
+    global _bq_precision
+    if mode not in ("exact", "fast_bf16"):
+        raise ValueError(f"bq_precision must be 'exact' or 'fast_bf16', got {mode!r}")
+    _bq_precision = mode
+
+
+def bq_precision() -> str:
+    """Current ball-query distance precision mode (read per call, outside
+    the op's jit cache, so flipping it takes effect immediately)."""
+    return _bq_precision
+
+
 def apply_config(config) -> None:
     """Apply every dispatch-relevant Config knob (entry-point helper)."""
     set_use_pallas(config.use_pallas)
     set_scatter_precision(config.scatter_precision)
+    set_bq_precision(config.bq_precision)

@@ -17,20 +17,29 @@ If a query ball is empty the reference leaves the row uninitialized (never
 happens in the model: every query point is a member of the dataset cloud, so
 it always hits itself). We define the empty case as index 0.
 
-DOCUMENTED DEVIATION — radius-boundary rounding (the ONE authoritative
-statement; module docstrings elsewhere defer here):
-:func:`query_ball_point_dense` (and therefore the streaming variant built
-on it) computes squared distances with the MXU matmul expansion
-``|a|^2+|b|^2-2ab`` (:func:`votenet_tpu.ops.common.pairwise_sqdist_mm`),
-which can differ from the exact difference-square form by a few ulps. The
-strict ``dist2 < radius^2`` test can therefore flip membership ONLY for
-points whose true distance is within that few-ulp band of the radius —
-tests/test_ops.py::TestQueryBallBoundary pins that points even 4 ulps away
-from the boundary classify identically to the exact oracle. Making the hit
-mask exact was measured at +41.6% ball-query time at sa1 (7.9 -> 11.2 ms,
-v5e round 3) for a condition that is measure-zero in real data; the
-deviation is accepted. :func:`query_ball_point_topk` (the oracle) uses the
-exact form and has reference-identical semantics bit-for-bit.
+RADIUS-BOUNDARY PRECISION (the ONE authoritative statement; docstrings
+elsewhere defer here). The mode is ``ops.dispatch.bq_precision()``:
+
+- "exact" (the default): :func:`query_ball_point_dense` computes squared
+  distances with the same difference-square form as the oracle
+  (:func:`~votenet_tpu.ops.common.pairwise_sqdist`), so the hit mask —
+  and therefore indices and counts — is BIT-IDENTICAL to the reference
+  semantics by construction; verified on v5e at every live model shape on
+  clustered clouds (benchmarks/tpu_kernel_checks.py). Cost ~+2.5 ms at
+  sa1 vs the fast mode. (A ``Precision.HIGHEST`` matmul-expansion variant
+  measured the same speed but still flips slots through its few-ulp
+  reassociation band at the larger radii — rejected.)
+- "fast_bf16": the MXU matmul expansion ``|a|^2+|b|^2-2ab`` at default
+  TPU precision, which rounds the COORDINATE OPERANDS to bf16 (~0.4%
+  relative — a centimeter-scale boundary band at room scale): measured
+  35% of selected sa1 indices and 1% of counts flip vs the oracle on
+  clustered clouds. Rounds 1-3 trained fine with it (held-out mAP 0.70,
+  DESIGN.md — ball membership at the boundary is detection-neutral in
+  practice), so it stays available as an opt-in speed mode, but it is
+  NOT reference parity.
+
+:func:`query_ball_point_topk` (the oracle) uses the exact difference form
+unconditionally and is reference-identical bit-for-bit.
 """
 
 from __future__ import annotations
@@ -91,13 +100,30 @@ def query_ball_point(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2: jnp.n
     return query_ball_point_dense(radius, nsample, xyz1, xyz2)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
 def query_ball_point_dense(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2: jnp.ndarray):
+    """Fixed-radius neighborhood query (hierarchical, TPU-fast).
+
+    Thin wrapper that reads ``ops.dispatch.bq_precision()`` per call (so
+    flipping the mode is never masked by a stale jit cache) and forwards it
+    as a static argument. See :func:`_query_ball_point_dense` for the
+    algorithm and the module docstring for the precision modes.
+    """
+    from votenet_tpu.ops.dispatch import bq_precision
+
+    return _query_ball_point_dense(radius, nsample, bq_precision(), xyz1, xyz2)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _query_ball_point_dense(
+    radius: float, nsample: int, mode: str, xyz1: jnp.ndarray, xyz2: jnp.ndarray
+):
     """Fixed-radius neighborhood query (hierarchical, TPU-fast).
 
     Args:
       radius: ball radius (static).
       nsample: max points per ball (static).
+      mode: "exact" | "fast_bf16" distance precision (static; see module
+        docstring — "exact" is reference-identical on TPU).
       xyz1: (B, N, 3) dataset points.
       xyz2: (B, M, 3) query points.
 
@@ -112,8 +138,8 @@ def query_ball_point_dense(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2:
     masks plus an in-chunk rank match yields the lane. O(M*N) for the mask +
     O(M*nsample*128) for the search — no sort anywhere. Selection semantics
     (index order, fill-with-first-hit, saturated counts) match the CUDA
-    scan (tf_grouping_g.cu:13-35) exactly; the radius test itself carries
-    the few-ulp mm-expansion deviation documented at the top of this module.
+    scan (tf_grouping_g.cu:13-35) exactly; the radius test's precision
+    follows ``mode`` (module docstring).
     """
     xyz1 = xyz1.astype(jnp.float32)
     xyz2 = xyz2.astype(jnp.float32)
@@ -128,10 +154,16 @@ def query_ball_point_dense(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2:
     # flags, per-chunk counts <= 128, chunk ids <= 160, ranks <= 128 — is an
     # integer <= 256, exactly representable in bf16); the earlier int/bool
     # formulation hit pathological S8 layouts on TPU.
-    # d2: the mm expansion — see the DOCUMENTED DEVIATION in the module
-    # docstring (exactness measured +41.6% at sa1; boundary band tested).
     bf16 = jnp.bfloat16
-    d2 = pairwise_sqdist_mm(xyz2, xyz1)  # (B, M, N)
+    if mode == "exact":
+        # the same difference-square form as the oracle — the hit mask is
+        # bit-identical BY CONSTRUCTION (HIGHEST-precision mm was measured
+        # near-exact but still flips slots through the few-ulp
+        # reassociation band at the larger radii; the difference form costs
+        # the same and removes the band entirely)
+        d2 = pairwise_sqdist(xyz2, xyz1)
+    else:
+        d2 = pairwise_sqdist_mm(xyz2, xyz1)  # (B, M, N)
     hit = (d2 < jnp.float32(radius) ** 2).astype(bf16)
     if Np != N:
         hit = jnp.pad(hit, ((0, 0), (0, 0), (0, Np - N)))
@@ -151,27 +183,37 @@ def query_ball_point_dense(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2:
     c_s = jnp.sum(cum[..., None, :] <= s_iota[:, None], axis=-1)  # (B, M, ns)
     c_s = jnp.minimum(c_s, n_chunks - 1).astype(jnp.int32)
 
-    # one-hot over chunks drives batched-matmul "gathers" on the MXU
+    # one-hot over chunks drives batched-matmul "gathers" on the MXU.
+    # Every (B, M, ns, C)-shaped extraction intermediate below is carried in
+    # bf16 — all values are small exact integers (hit flags 0/1, in-chunk
+    # ranks <= C=128, selected-chunk bases <= nsample-1 <= 63 because the
+    # chunk holding the (s+1)-th hit has exclusive-cumulative base <= s,
+    # lanes <= 127; bf16 is integer-exact through 256), and halving these
+    # ~0.5 GB/layer of HBM traffic measures +4% train / +2% inference
+    # end-to-end. Index outputs are bit-identical (oracle-equality tests).
     oh = jax.nn.one_hot(c_s, n_chunks, dtype=bf16)  # (B, M, ns, nc)
     sel_mask = jnp.einsum(
-        "bmsc,bmck->bmsk", oh, hit_c, preferred_element_type=jnp.float32
-    )  # (B, M, ns, C)
+        "bmsc,bmck->bmsk", oh, hit_c, preferred_element_type=bf16
+    )  # (B, M, ns, C); MXU accumulates f32, cast exact (values 0/1)
     base_s = jnp.einsum(
         "bmsc,bmc->bms", oh, base.astype(bf16), preferred_element_type=jnp.float32
-    )  # base count of that chunk (counts <= 256: exact in bf16)
+    )  # base count of that chunk (selected bases <= 63: exact in bf16)
     t_s = s_iota + 1.0 - base_s  # wanted 1-based rank inside the chunk
 
     # in-chunk rank via matmul with an upper-triangular ones matrix
     tri = jnp.tril(jnp.ones((C, C), bf16)).T  # tri[k, j] = 1 for j >= k
     local_rank = jnp.einsum(
-        "bmsk,kj->bmsj", sel_mask.astype(bf16), tri,
-        preferred_element_type=jnp.float32,
-    )  # inclusive cumsum
+        "bmsk,kj->bmsj", sel_mask, tri,
+        preferred_element_type=bf16,
+    )  # inclusive cumsum; counts <= 128, bf16-exact
     is_target = jnp.where(
-        (local_rank == t_s[..., None]) & (sel_mask > 0), 1.0, 0.0
+        (local_rank == t_s[..., None].astype(bf16)) & (sel_mask > 0),
+        jnp.ones((), bf16), jnp.zeros((), bf16),
     )
-    lane_iota = jnp.arange(C, dtype=jnp.float32)
-    lane = jnp.einsum("bmsk,k->bms", is_target, lane_iota)  # one-hot dot
+    lane_iota = jnp.arange(C, dtype=jnp.float32).astype(bf16)
+    lane = jnp.einsum(
+        "bmsk,k->bms", is_target, lane_iota, preferred_element_type=jnp.float32
+    )  # one-hot dot: exactly one 1 per row -> exact lane value
     idx_s = (c_s * C + lane.astype(jnp.int32)).astype(jnp.int32)
 
     # fill-with-first-hit semantics for slots past the last hit
@@ -372,10 +414,28 @@ def group_point(
     return _group_point_gather(points, idx)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4))
 def query_ball_point_streaming(
     radius: float,
     nsample: int,
+    xyz1: jnp.ndarray,
+    xyz2: jnp.ndarray,
+    block: int = 4096,
+):
+    """Ball query for large N (streaming). Reads ``bq_precision()`` per call
+    (outside the jit cache) like :func:`query_ball_point_dense`; see
+    :func:`_query_ball_point_streaming`."""
+    from votenet_tpu.ops.dispatch import bq_precision
+
+    return _query_ball_point_streaming(
+        radius, nsample, bq_precision(), xyz1, xyz2, block
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 5))
+def _query_ball_point_streaming(
+    radius: float,
+    nsample: int,
+    mode: str,
     xyz1: jnp.ndarray,
     xyz2: jnp.ndarray,
     block: int = 4096,
@@ -411,7 +471,7 @@ def query_ball_point_streaming(
     def body(carry, args):
         idx_st, cnt_st = carry  # (B,M,ns) int32, (B,M) int32
         j, blk = args
-        bidx, bcnt = query_ball_point_dense(radius, nsample, blk, xyz2)
+        bidx, bcnt = _query_ball_point_dense(radius, nsample, mode, blk, xyz2)
         # slots >= bcnt of bidx are fill values — masked off via counts below
         take = jnp.minimum(nsample - cnt_st, bcnt)  # (B, M)
         shift = jnp.clip(s_iota[None, None, :] - cnt_st[..., None], 0, nsample - 1)
