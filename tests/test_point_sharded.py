@@ -1,0 +1,162 @@
+"""Point-axis (SP) sharding: exact equality vs the single-device twins.
+
+Runs on the virtual 8-device CPU mesh (conftest). Every sharded op must be
+BIT-IDENTICAL to its dense twin — including tie cases (duplicate points,
+equidistant neighbors) and the reference's fill/empty semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from votenet_tpu.ops.grouping import query_ball_point_dense, group_point
+from votenet_tpu.ops.interpolate import three_nn_dense
+from votenet_tpu.ops.sampling import farthest_point_sample_xla
+from votenet_tpu.parallel.mesh import make_mesh
+from votenet_tpu.parallel.point_sharded import (
+    farthest_point_sample_sharded,
+    group_point_sharded,
+    point_sharding,
+    query_ball_point_sharded,
+    three_nn_sharded,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(jax.devices()[:8], axis_names=("points",))
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    return make_mesh(jax.devices()[:8], shape=(2, 4), axis_names=("data", "points"))
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+def _cloud(rng, B, N, cluster=True):
+    x = rng.uniform(-4, 4, (B, N, 3)).astype(np.float32)
+    if cluster:
+        x[:, : N // 4] *= 0.12  # dense cluster: busy boundaries, full balls
+    return jnp.asarray(x)
+
+
+class TestQueryBallSharded:
+    def test_matches_dense_exactly(self, mesh, rng):
+        xyz1 = _cloud(rng, 2, 1024)
+        xyz2 = xyz1[:, :128]
+        want_i, want_c = query_ball_point_dense(0.5, 16, xyz1, xyz2)
+        got_i, got_c = query_ball_point_sharded(0.5, 16, xyz1, xyz2, mesh)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+        np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+
+    def test_duplicate_points_and_empty_balls(self, mesh, rng):
+        # duplicates exercise the index-order tie rule across shard borders;
+        # a far-away query exercises the empty-ball -> 0 rule
+        xyz1 = np.tile(rng.uniform(-1, 1, (1, 128, 3)).astype(np.float32), (1, 4, 1))
+        xyz1 = jnp.asarray(xyz1)  # (1, 512): each point appears 4x
+        q = jnp.concatenate(
+            [xyz1[:, :32], jnp.full((1, 8, 3), 50.0, jnp.float32)], axis=1
+        )
+        want_i, want_c = query_ball_point_dense(0.3, 8, xyz1, q)
+        got_i, got_c = query_ball_point_sharded(0.3, 8, xyz1, q, mesh)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+        np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+        assert np.all(np.asarray(got_i)[0, 32:] == 0)  # empty balls -> 0
+
+    def test_input_already_sharded(self, mesh, rng):
+        # device_put with the point sharding first — no resharding needed
+        xyz1 = jax.device_put(_cloud(rng, 1, 2048), point_sharding(mesh))
+        xyz2 = jax.device_put(
+            jnp.asarray(np.asarray(xyz1)[:, :64]),
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+        )
+        want = query_ball_point_dense(0.4, 8, jnp.asarray(np.asarray(xyz1)), xyz2)
+        got = query_ball_point_sharded(0.4, 8, xyz1, xyz2, mesh)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+
+    def test_indivisible_n_raises(self, mesh, rng):
+        with pytest.raises(ValueError, match="divisible"):
+            query_ball_point_sharded(0.4, 8, _cloud(rng, 1, 1001), _cloud(rng, 1, 16), mesh)
+
+
+class TestThreeNNSharded:
+    def test_matches_dense_exactly(self, mesh, rng):
+        q = _cloud(rng, 2, 256, cluster=False)
+        src = _cloud(rng, 2, 512)
+        want_d, want_i = three_nn_dense(q, src)
+        got_d, got_i = three_nn_sharded(q, src, mesh)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+        np.testing.assert_array_equal(np.asarray(got_d), np.asarray(want_d))
+
+    def test_equidistant_ties_across_shards(self, mesh):
+        # sources duplicated 8x -> every shard holds a copy of each point;
+        # the dense rule picks the 3 LOWEST indices among the equal distances
+        base = np.array([[[0.0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]]], np.float32)
+        src = jnp.asarray(np.tile(base, (1, 8, 1)))  # (1, 32, 3)
+        q = jnp.asarray(np.array([[[0.05, 0, 0]]], np.float32))
+        want_d, want_i = three_nn_dense(q, src)
+        got_d, got_i = three_nn_sharded(q, src, mesh)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+        np.testing.assert_array_equal(np.asarray(got_d), np.asarray(want_d))
+
+
+class TestGroupPointSharded:
+    def test_matches_gather_exactly(self, mesh, rng):
+        pts = jnp.asarray(rng.randn(2, 512, 7).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 512, (2, 32, 8)).astype(np.int32))
+        want = group_point(pts, idx)
+        got = group_point_sharded(pts, idx, mesh)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_gradient_matches(self, mesh, rng):
+        pts = jnp.asarray(rng.randn(1, 256, 5).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 256, (1, 16, 4)).astype(np.int32))
+        cot = jnp.asarray(rng.randn(1, 16, 4, 5).astype(np.float32))
+        want = jax.grad(lambda p: jnp.sum(group_point(p, idx) * cot))(pts)
+        got = jax.grad(
+            lambda p: jnp.sum(group_point_sharded(p, idx, mesh) * cot)
+        )(pts)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+class TestFPSSharded:
+    def test_matches_xla_twin_exactly(self, mesh, rng):
+        xyz = _cloud(rng, 2, 512)
+        want = farthest_point_sample_xla(64, xyz)
+        got = farthest_point_sample_sharded(64, xyz, mesh)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_duplicate_points_tie_rule(self, mesh, rng):
+        # duplicated cloud: max-mindist ties everywhere; the dense rule is
+        # lowest global index, which crosses shard boundaries
+        half = rng.uniform(-1, 1, (1, 256, 3)).astype(np.float32)
+        xyz = jnp.asarray(np.concatenate([half, half], axis=1))  # (1, 512)
+        want = farthest_point_sample_xla(32, xyz)
+        got = farthest_point_sample_sharded(32, xyz, mesh)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_seed_is_global_zero(self, mesh, rng):
+        got = np.asarray(farthest_point_sample_sharded(4, _cloud(rng, 3, 64), mesh))
+        assert np.all(got[:, 0] == 0)
+
+
+class TestDpSpMesh:
+    def test_ball_query_on_2d_mesh(self, mesh2d, rng):
+        """dp x sp: batch over 'data', points over 'points' — one SA-layer
+        grouping step end-to-end on the 2-D mesh."""
+        xyz1 = _cloud(rng, 2, 1024)
+        xyz2 = xyz1[:, :64]
+        want_i, want_c = query_ball_point_dense(0.4, 16, xyz1, xyz2)
+        got_i, got_c = query_ball_point_sharded(0.4, 16, xyz1, xyz2, mesh2d)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+        np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+        # and the grouped gather from the sharded table
+        pts = jnp.concatenate([xyz1, jnp.sin(xyz1)], axis=-1)
+        want_g = group_point(pts, want_i)
+        got_g = group_point_sharded(pts, got_i, mesh2d)
+        np.testing.assert_array_equal(np.asarray(got_g), np.asarray(want_g))

@@ -466,31 +466,49 @@ def _query_ball_point_streaming(
             xyz1, ((0, 0), (0, nb * block - N), (0, 0)), constant_values=1e9
         )
     blocks = xyz1.reshape(B, nb, block, 3).transpose(1, 0, 2, 3)  # (nb,B,blk,3)
-    s_iota = jnp.arange(nsample, dtype=jnp.int32)
 
     def body(carry, args):
         idx_st, cnt_st = carry  # (B,M,ns) int32, (B,M) int32
         j, blk = args
         bidx, bcnt = _query_ball_point_dense(radius, nsample, mode, blk, xyz2)
-        # slots >= bcnt of bidx are fill values — masked off via counts below
-        take = jnp.minimum(nsample - cnt_st, bcnt)  # (B, M)
-        shift = jnp.clip(s_iota[None, None, :] - cnt_st[..., None], 0, nsample - 1)
-        shifted = jnp.take_along_axis(bidx, shift, axis=-1) + j * block
-        merged = jnp.where(s_iota[None, None, :] < cnt_st[..., None], idx_st, shifted)
-        new_cnt = cnt_st + take
-        return (merged, new_cnt), None
+        return merge_first_k(idx_st, cnt_st, bidx + j * block, bcnt, nsample), None
 
     idx0 = jnp.zeros((B, M, nsample), jnp.int32)
     cnt0 = jnp.zeros((B, M), jnp.int32)
     (idx, cnt), _ = lax.scan(
         body, (idx0, cnt0), (jnp.arange(nb, dtype=jnp.int32), blocks)
     )
-    # reference padding semantics: slots past the last hit repeat the first
-    # hit; fully-empty balls -> index 0 (see query_ball_point docstring)
+    idx, cnt = finalize_first_k(idx, cnt, nsample)
+    return lax.stop_gradient(idx), lax.stop_gradient(cnt)
+
+
+def merge_first_k(idx_st, cnt_st, bidx, bcnt, nsample: int):
+    """Merge one partial first-k result into a running (idx, cnt) state.
+
+    ``(idx_st, cnt_st)`` hold the first ``cnt_st`` hits found so far (in
+    dataset index order); ``(bidx, bcnt)`` is a partial result over a LATER
+    index range (all its indices exceed everything already stored —
+    streaming blocks / mesh shards are visited in ascending index order).
+    Slots ``>= bcnt`` of ``bidx`` are fill values and are masked off via the
+    counts. Returns the merged (idx, cnt); counts saturate at ``nsample``.
+    """
+    s_iota = jnp.arange(nsample, dtype=jnp.int32)
+    take = jnp.minimum(nsample - cnt_st, bcnt)  # (B, M)
+    shift = jnp.clip(s_iota[None, None, :] - cnt_st[..., None], 0, nsample - 1)
+    shifted = jnp.take_along_axis(bidx, shift, axis=-1)
+    merged = jnp.where(s_iota[None, None, :] < cnt_st[..., None], idx_st, shifted)
+    return merged, cnt_st + take
+
+
+def finalize_first_k(idx, cnt, nsample: int):
+    """Apply the reference padding semantics to a merged first-k state:
+    slots past the last hit repeat the FIRST hit; fully-empty balls -> index
+    0 (see the query_ball_point docstring)."""
+    s_iota = jnp.arange(nsample, dtype=jnp.int32)
     first_hit = idx[..., :1]
     idx = jnp.where(s_iota[None, None, :] < cnt[..., None], idx, first_hit)
     idx = jnp.where(cnt[..., None] > 0, idx, 0)
-    return lax.stop_gradient(idx), lax.stop_gradient(cnt)
+    return idx, cnt
 
 
 @functools.partial(jax.jit, static_argnums=0)
