@@ -145,6 +145,40 @@ class TestFPSSharded:
         assert np.all(got[:, 0] == 0)
 
 
+class TestGatherPointSharded:
+    def test_matches_gather_point(self, mesh, rng):
+        from votenet_tpu.ops.sampling import gather_point
+        from votenet_tpu.parallel.point_sharded import gather_point_sharded
+
+        pts = jnp.asarray(rng.randn(2, 512, 3).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 512, (2, 64)).astype(np.int32))
+        want = gather_point(pts, idx)
+        got = gather_point_sharded(pts, idx, mesh)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestSampleAndGroupSharded:
+    def test_matches_single_device(self, mesh, rng):
+        """The full SA grouping stage (FPS -> gather -> query -> group ->
+        center-subtract) point-sharded, vs the model's own sample_and_group
+        with the XLA twins (pallas is off on CPU anyway)."""
+        from votenet_tpu.models.pointnet2 import sample_and_group
+        from votenet_tpu.parallel.point_sharded import sample_and_group_sharded
+
+        xyz = _cloud(rng, 2, 512)
+        feats = jnp.sin(xyz * 3.0)
+        want_xyz, want_pts, want_idx, want_gx = sample_and_group(
+            64, 0.4, 8, xyz, feats
+        )
+        got_xyz, got_pts, got_idx, got_gx = sample_and_group_sharded(
+            64, 0.4, 8, xyz, feats, mesh
+        )
+        np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(want_idx))
+        np.testing.assert_array_equal(np.asarray(got_xyz), np.asarray(want_xyz))
+        np.testing.assert_array_equal(np.asarray(got_pts), np.asarray(want_pts))
+        np.testing.assert_array_equal(np.asarray(got_gx), np.asarray(want_gx))
+
+
 class TestDpSpMesh:
     def test_ball_query_on_2d_mesh(self, mesh2d, rng):
         """dp x sp: batch over 'data', points over 'points' — one SA-layer

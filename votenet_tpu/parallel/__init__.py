@@ -22,14 +22,17 @@ from votenet_tpu.parallel.mesh import (
 )
 from votenet_tpu.parallel.point_sharded import (
     farthest_point_sample_sharded,
+    gather_point_sharded,
     group_point_sharded,
     point_sharding,
     query_ball_point_sharded,
+    sample_and_group_sharded,
     three_nn_sharded,
 )
 
 __all__ = [
     "make_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
     "point_sharding", "query_ball_point_sharded", "three_nn_sharded",
-    "group_point_sharded", "farthest_point_sample_sharded",
+    "group_point_sharded", "gather_point_sharded",
+    "farthest_point_sample_sharded", "sample_and_group_sharded",
 ]

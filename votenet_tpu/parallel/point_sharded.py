@@ -39,6 +39,8 @@ batch axis (a ('data', 'points') 2-D mesh gives dp x sp).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -201,6 +203,57 @@ def group_point_sharded(
         in_specs=(P(None, axis), P()),
         out_specs=P(),
     )(points, idx)
+
+
+def gather_point_sharded(
+    points: jnp.ndarray, idx: jnp.ndarray, mesh: Mesh, axis: str = "points"
+) -> jnp.ndarray:
+    """(B, N, C) sharded table, (B, M) global indices -> replicated (B, M, C).
+
+    The (B, M)-indexed twin of :func:`group_point_sharded` (reference
+    ``gather_point``, tf_sampling_g.cu:172-181). Differentiable.
+    """
+    return group_point_sharded(points, idx[:, :, None], mesh, axis)[:, :, 0, :]
+
+
+def sample_and_group_sharded(
+    npoint: int,
+    radius: float,
+    nsample: int,
+    xyz: jnp.ndarray,
+    points: Optional[jnp.ndarray],
+    mesh: Mesh,
+    axis: str = "points",
+    use_xyz: bool = True,
+):
+    """The SA-layer grouping stage with the input cloud sharded over ``axis``.
+
+    FPS -> gather -> ball query -> group -> center-subtract, each O(N) step
+    point-sharded; mirrors :func:`votenet_tpu.models.pointnet2.sample_and_group`
+    (reference utils.py:25-61) and returns the same
+    (new_xyz, new_points, idx, grouped_xyz) — all replicated, all O(M), so
+    the downstream MLP/pool (O(M·S·C), no N dependence) runs unsharded.
+    Bit-identical to the single-device path (tested).
+    """
+    fps_idx = farthest_point_sample_sharded(npoint, xyz, mesh, axis)
+    new_xyz = gather_point_sharded(xyz, fps_idx, mesh, axis)
+    idx, _ = query_ball_point_sharded(radius, nsample, xyz, new_xyz, mesh, axis)
+    if points is not None:
+        both = group_point_sharded(
+            jnp.concatenate([xyz, points], axis=-1), idx, mesh, axis
+        )
+        grouped_xyz = both[..., :3] - new_xyz[:, :, None, :]
+        grouped_points = both[..., 3:]
+        if use_xyz:
+            new_points = jnp.concatenate([grouped_xyz, grouped_points], axis=-1)
+        else:
+            new_points = grouped_points
+    else:
+        grouped_xyz = (
+            group_point_sharded(xyz, idx, mesh, axis) - new_xyz[:, :, None, :]
+        )
+        new_points = grouped_xyz
+    return new_xyz, new_points, idx, grouped_xyz
 
 
 def farthest_point_sample_sharded(
