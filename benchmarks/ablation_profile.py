@@ -189,9 +189,6 @@ def build_train():
     return timer
 
 
-ABLATIONS = None  # populated in main (needs imported modules)
-
-
 def main():
     import votenet_tpu.models.decode as decode_mod
     import votenet_tpu.ops as ops_pkg
