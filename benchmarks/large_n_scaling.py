@@ -1,11 +1,12 @@
 """Single-chip point-count scaling: full forward at N far beyond 20480.
 
-SURVEY §5 names point count as this model's "long-context" axis. Above
-``ops.common.LARGE_N_THRESHOLD`` (81920) the ball query and three_nn
-auto-dispatch to streaming twins and FPS falls back to its O(B*N)-HBM XLA
-loop, so the same full model runs at N >> 20480 without O(N) dense
-intermediates. This measures that claim on the real chip: forward
-scenes/s (and ms/scene) at N = 20480 .. 163840, B=2, fixed proposal count.
+SURVEY §5 names point count as this model's "long-context" axis. The ball
+query / three_nn stream in blocks when their dense (B, M, N) intermediates
+exceed ``ops.common.DENSE_BYTES_BUDGET`` (byte-based, so small batches keep
+the dense path far longer), and FPS escalates batched-Pallas -> row-wise
+Pallas -> XLA loop by VMEM fit, so the same full model runs at N >> 20480.
+This measures those claims on the real chip: forward scenes/s (and
+ms/scene) at N = 20480 .. 163840, B=2, fixed proposal count.
 
 Usage: python benchmarks/large_n_scaling.py
 """
@@ -68,7 +69,13 @@ def main():
             _sync(out)
             best = min(best, time.perf_counter() - t0)
         dt = best / K
-        mode = "streaming" if n > 81920 else "dense"
+        from votenet_tpu.ops import common as C
+        cfgM = cfg.sa_npoints[0]
+        mode = (
+            "streaming"
+            if C.bq_dense_bytes(B, cfgM, n) > C.DENSE_BYTES_BUDGET
+            else "dense"
+        )
         print(
             f"N={n:6d} ({mode:9s}): {B/dt:7.2f} scenes/s, "
             f"{dt/B*1e3:7.2f} ms/scene, {dt*1e3:7.2f} ms/batch",

@@ -51,6 +51,15 @@ def main():
             np.testing.assert_array_equal(got, want)
             print(f"{name} compiled ok  B={B} N={N} m={m}", flush=True)
 
+    # the row-wise kernel's large-N regime (beyond the batched kernel's VMEM
+    # cap, up to ROWWISE_MAX_N — the dispatcher routes ANY batch here)
+    for B, N, m in [(2, 163840, 64), (4, 163840, 32), (1, 262144, 32)]:
+        xyz = rng.randn(B, N, 3).astype(np.float32)
+        got = np.asarray(farthest_point_sample_pallas_rowwise(m, xyz))
+        want = oracles.fps_oracle(m, xyz)
+        np.testing.assert_array_equal(got, want)
+        print(f"rowwise large-N compiled ok  B={B} N={N} m={m}", flush=True)
+
     # gradient-scatter exactness ON TPU: the "exact" mode must match an f64
     # host accumulation to f32 roundoff (ADVICE r2: DEFAULT-precision TPU
     # einsums bf16-truncate the update values — CPU tests cannot catch this)

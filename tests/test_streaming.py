@@ -104,7 +104,8 @@ class TestLargeNDispatch:
         xyz1 = rng.uniform(-3, 3, (1, 700, 3)).astype(np.float32)
         xyz2 = xyz1[:, :16]
         di, dc = G.query_ball_point_dense(0.5, 8, jnp.asarray(xyz1), jnp.asarray(xyz2))
-        monkeypatch.setattr(G, "STREAM_N_THRESHOLD", 512)
+        # shrink the byte budget below this shape's dense footprint
+        monkeypatch.setattr(G, "DENSE_BYTES_BUDGET", 1 * 16 * 512 * 6)
         si, sc = G.query_ball_point(0.5, 8, jnp.asarray(xyz1), jnp.asarray(xyz2))
         np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
         np.testing.assert_array_equal(np.asarray(sc), np.asarray(dc))
@@ -115,7 +116,8 @@ class TestLargeNDispatch:
         xyz1 = rng.uniform(-3, 3, (1, 700, 3)).astype(np.float32)
         xyz2 = rng.uniform(-3, 3, (1, 32, 3)).astype(np.float32)
         dd, di = I.three_nn_dense(jnp.asarray(xyz1), jnp.asarray(xyz2))
-        monkeypatch.setattr(I, "STREAM_N_THRESHOLD", 512)
+        # shrink the byte budget below this shape's dense footprint
+        monkeypatch.setattr(I, "DENSE_BYTES_BUDGET", 1 * 512 * 32 * 4)
         sd, si = I.three_nn(jnp.asarray(xyz1), jnp.asarray(xyz2))
         np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
         np.testing.assert_array_equal(np.asarray(sd), np.asarray(dd))

@@ -4,12 +4,37 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-# Single large-N gate shared by FPS, ball query and three_nn (SURVEY §5
-# point-count scaling): above this the dense paths' O(N) working sets
-# (Pallas VMEM planes for FPS, (B,M,N)/(B,N,M) HBM intermediates for the
-# queries) stop being comfortable on v5e, and the ops switch to their
-# streaming/XLA fallbacks. Retune in ONE place for new TPU generations.
+# Point-count scaling gates (SURVEY §5). Two kinds of limits:
+#
+# 1. LARGE_N_THRESHOLD — VMEM cap of the BATCHED Pallas FPS kernel, whose
+#    resident planes cost 8 sublanes x N x 4 surfaces x 4 B = 128*N bytes
+#    (~10.5 MB at 81920 against Mosaic's ~12 MB usable scope). The row-wise
+#    kernel folds one row over (sublanes, lanes) and only needs ~36*N bytes
+#    — see ops/pallas/fps.py ROWWISE_MAX_N.
+# 2. DENSE_BYTES_BUDGET — HBM-footprint budget for the dense ball-query /
+#    three_nn paths, whose (B, M, N)-shaped intermediates are the O(N)
+#    memory. The dispatch is BYTE-based, not N-based: a small batch can run
+#    the (9x faster) dense path at point counts where a full batch must
+#    stream — measured 163840 pts at B=2: dense 21 ms/scene vs streaming
+#    102 ms/scene (benchmarks/large_n_scaling.py). v5e has 16 GB HBM; 10 GB
+#    of query intermediates leaves room for the model around them and
+#    reproduces the previous N<=81920-at-B=8 dense behavior exactly.
+#
+# Retune in ONE place for new TPU generations.
 LARGE_N_THRESHOLD = 81920
+DENSE_BYTES_BUDGET = 10 * 1024**3
+
+
+def bq_dense_bytes(B: int, M: int, N: int) -> int:
+    """Peak HBM bytes of the dense ball query's (B, M, N) intermediates:
+    f32 distances (4) + bf16 hit mask (2), conservatively co-resident."""
+    return B * M * N * 6
+
+
+def three_nn_dense_bytes(B: int, N: int, M: int) -> int:
+    """Peak HBM bytes of dense three_nn's (B, N, M) f32 distance matrix
+    (the masked argmin passes mutate it in place under XLA fusion)."""
+    return B * N * M * 4
 
 
 def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -82,20 +82,22 @@ def query_ball_point_topk(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2: 
 
 _BQ_CHUNK = 128  # lane-width chunks for the hierarchical search
 
-# Dataset sizes above this stream in blocks (query_ball_point_streaming):
-# the dense path's (B, M, N) hit/distance intermediates are the O(N) memory.
-# One shared gate with FPS/three_nn — see ops/common.py.
-STREAM_N_THRESHOLD = common.LARGE_N_THRESHOLD
+# HBM-footprint budget for the dense path's (B, M, N) intermediates; above
+# it the query streams in blocks. Byte-based (not N-based) so small batches
+# keep the ~9x-faster dense path at large point counts — see ops/common.py.
+DENSE_BYTES_BUDGET = common.DENSE_BYTES_BUDGET
 
 
 def query_ball_point(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2: jnp.ndarray):
     """Fixed-radius neighborhood query (backend/size-dispatched).
 
-    Routes to :func:`query_ball_point_streaming` above ``STREAM_N_THRESHOLD``
-    dataset points, else the dense hierarchical query. Identical semantics
-    either way (exact-equality tested).
+    Routes to :func:`query_ball_point_streaming` when the dense (B, M, N)
+    intermediates exceed ``DENSE_BYTES_BUDGET``, else the dense hierarchical
+    query. Identical semantics either way (exact-equality tested).
     """
-    if xyz1.shape[1] > STREAM_N_THRESHOLD:
+    B, N = xyz1.shape[0], xyz1.shape[1]
+    M = xyz2.shape[1]
+    if common.bq_dense_bytes(B, M, N) > DENSE_BYTES_BUDGET:
         return query_ball_point_streaming(radius, nsample, xyz1, xyz2)
     return query_ball_point_dense(radius, nsample, xyz1, xyz2)
 

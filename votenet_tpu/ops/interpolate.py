@@ -25,12 +25,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from votenet_tpu.ops.common import LARGE_N_THRESHOLD, pairwise_sqdist
+from votenet_tpu.ops import common
+from votenet_tpu.ops.common import pairwise_sqdist
 
-# Query counts above this stream in blocks: the dense (B, N, M) distance
-# matrix is the only O(N) intermediate here. One shared gate with
-# FPS/ball-query — see ops/common.py.
-STREAM_N_THRESHOLD = LARGE_N_THRESHOLD
+# HBM-footprint budget for the dense (B, N, M) distance matrix — the only
+# O(N) intermediate here. Byte-based dispatch shared with the ball query;
+# see ops/common.py.
+DENSE_BYTES_BUDGET = common.DENSE_BYTES_BUDGET
 
 
 def three_nn(xyz1: jnp.ndarray, xyz2: jnp.ndarray):
@@ -40,10 +41,13 @@ def three_nn(xyz1: jnp.ndarray, xyz2: jnp.ndarray):
     Returns (dist2, idx) each (B, N, 3): squared distances ascending, int32
     indices into M. Both stop-gradiented (see module docstring).
 
-    Dispatches to :func:`three_nn_streaming` above ``STREAM_N_THRESHOLD``
-    query points (identical results — query rows are independent).
+    Dispatches to :func:`three_nn_streaming` when the dense (B, N, M)
+    distance matrix exceeds ``DENSE_BYTES_BUDGET`` (identical results —
+    query rows are independent).
     """
-    if xyz1.shape[1] > STREAM_N_THRESHOLD:
+    B, N = xyz1.shape[0], xyz1.shape[1]
+    M = xyz2.shape[1]
+    if common.three_nn_dense_bytes(B, N, M) > DENSE_BYTES_BUDGET:
         return three_nn_streaming(xyz1, xyz2)
     return three_nn_dense(xyz1, xyz2)
 

@@ -32,6 +32,17 @@ _LANES = 128
 # 4.50/3.66, B=4 5.01/5.85 (batched/rowwise) -> rowwise wins through B=2.
 ROWWISE_MAX_B = 2
 
+# VMEM cap of the row-wise kernel: per program it holds one row's x/y/z
+# input planes (double-buffered across the B-grid) plus the min-dist and
+# index scratch planes, all (N/128, 128) f32/i32 — ~(3*2 + 2) * 4 = 36
+# bytes/point against Mosaic's ~12 MB usable scope. The batched kernel's
+# cap is 8x tighter (it holds 8 sublane rows per plane — see
+# ops/common.py LARGE_N_THRESHOLD), so above that the dispatcher uses this
+# kernel at ANY batch (grid over B): still vastly faster than the XLA
+# fori_loop fallback. Verified compiled at N=262144 on v5e
+# (benchmarks/tpu_kernel_checks.py).
+ROWWISE_MAX_N = 262144
+
 
 def _fps_kernel(npoint: int, n_valid: int, x_ref, y_ref, z_ref, o_ref, mind_ref):
     Bb, Np = x_ref.shape

@@ -46,23 +46,30 @@ def farthest_point_sample(npoint: int, xyz: jnp.ndarray) -> jnp.ndarray:
     from votenet_tpu.ops.dispatch import use_pallas
 
     # The Pallas kernels keep the (N-sized) coordinate planes + min-dist
-    # cache in VMEM; beyond the shared large-N gate (ops/common.py) that
-    # exceeds the 16 MB budget, so large point counts (SURVEY §5
-    # "point-count scaling") fall back to the XLA twin, whose working set
-    # is O(B*N) in HBM at any N.
-    if use_pallas() and xyz.shape[1] <= LARGE_N_THRESHOLD:
+    # cache in VMEM, each with its own capacity (SURVEY §5 "point-count
+    # scaling"): the batched kernel holds 8 sublane rows per plane
+    # (128 B/point, cap LARGE_N_THRESHOLD); the row-wise kernel holds one
+    # row (36 B/point, cap ROWWISE_MAX_N), so it extends Pallas FPS to ~3x
+    # larger clouds at ANY batch — only beyond that does the XLA fori_loop
+    # twin (O(B*N) HBM, no VMEM limit, but ~latency-bound) take over.
+    if use_pallas():
         from votenet_tpu.ops.pallas.fps import (
             ROWWISE_MAX_B,
+            ROWWISE_MAX_N,
             farthest_point_sample_pallas,
             farthest_point_sample_pallas_rowwise,
         )
 
-        # Small batches underfill the batched kernel's sublanes (B of 8 busy
-        # rows); the row-wise fold keeps the VPU dense — the serving-latency
-        # case. Identical semantics either way.
-        if xyz.shape[0] <= ROWWISE_MAX_B:
+        B, N = xyz.shape[0], xyz.shape[1]
+        if N <= LARGE_N_THRESHOLD:
+            # Small batches underfill the batched kernel's sublanes (B of 8
+            # busy rows); the row-wise fold keeps the VPU dense — the
+            # serving-latency case. Identical semantics either way.
+            if B <= ROWWISE_MAX_B:
+                return farthest_point_sample_pallas_rowwise(npoint, xyz)
+            return farthest_point_sample_pallas(npoint, xyz)
+        if N <= ROWWISE_MAX_N:
             return farthest_point_sample_pallas_rowwise(npoint, xyz)
-        return farthest_point_sample_pallas(npoint, xyz)
     return farthest_point_sample_xla(npoint, xyz)
 
 
