@@ -32,6 +32,10 @@ def main():
                         choices=["reference", "masked"])
     parser.add_argument("--preset", default="full", choices=["full", "tiny"],
                         help="tiny = scaled-down model for smoke tests")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="run seed: parameter init + epoch-shuffle order "
+                             "(default 0 = the deterministic A2 baseline; "
+                             "vary it for independent runs / variance bounds)")
     args, config_argv = parser.parse_known_args()
 
     from votenet_tpu.config import config_from_args, default_config
@@ -86,7 +90,7 @@ def main():
         # whole sequence is reproducible run-to-run (the A2 determinism
         # guarantee extends to --synthetic runs; the reference seeds its
         # RNGDataFlow per-process the same way).
-        shuffle_rng = np.random.default_rng(0)
+        shuffle_rng = np.random.default_rng(args.seed)
 
         def batch_factory():
             from votenet_tpu.data.prefetch import prefetch
@@ -136,7 +140,7 @@ def main():
     # multi-host input each process sees len(local_train_idx) scenes/epoch.
     n_epoch_scenes = args.synthetic if args.synthetic else len(local_train_idx)
     steps_per_epoch = max(n_epoch_scenes // cfg.batch_size, 1)
-    state = create_train_state(jax.random.PRNGKey(0), cfg, steps_per_epoch)
+    state = create_train_state(jax.random.PRNGKey(args.seed), cfg, steps_per_epoch)
     model = VoteNet(cfg)
     evaluator = Evaluator(cfg, gt_all, batch_size=max(cfg.batch_size, 4))
 
