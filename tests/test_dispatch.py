@@ -99,6 +99,37 @@ class TestDispatchGate:
         finally:
             dispatch.set_use_pallas(True)
 
+    def test_large_n_escalation(self, monkeypatch):
+        """N beyond the batched kernel's VMEM cap routes to the row-wise
+        kernel at ANY batch; beyond ROWWISE_MAX_N it falls back to XLA."""
+        import votenet_tpu.ops.common as common
+        import votenet_tpu.ops.sampling as sampling
+        from votenet_tpu.ops.pallas import fps as fps_mod
+
+        monkeypatch.setattr(ops_pallas, "tpu_available", lambda: True)
+        dispatch.set_use_pallas(True)
+        calls = []
+        monkeypatch.setattr(
+            fps_mod, "farthest_point_sample_pallas_rowwise",
+            lambda m, x: calls.append("rowwise") or farthest_point_sample_xla(m, x),
+        )
+        monkeypatch.setattr(
+            fps_mod, "farthest_point_sample_pallas",
+            lambda m, x: calls.append("batched") or farthest_point_sample_xla(m, x),
+        )
+        # shrink the caps so the test stays tiny
+        monkeypatch.setattr(sampling, "farthest_point_sample_xla",
+                            lambda m, x: calls.append("xla") or None)
+        monkeypatch.setattr(common, "LARGE_N_THRESHOLD", 64)
+        monkeypatch.setattr(fps_mod, "ROWWISE_MAX_N", 128)
+        try:
+            farthest_point_sample(8, jnp.zeros((8, 64, 3), jnp.float32))    # batched
+            farthest_point_sample(8, jnp.zeros((8, 128, 3), jnp.float32))   # rowwise (any B)
+            farthest_point_sample(8, jnp.zeros((8, 256, 3), jnp.float32))   # xla
+            assert calls == ["batched", "rowwise", "xla"]
+        finally:
+            dispatch.set_use_pallas(True)
+
 
 class TestScatterPrecisionGate:
     def test_default_is_exact(self):
