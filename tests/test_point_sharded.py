@@ -194,3 +194,154 @@ class TestDpSpMesh:
         want_g = group_point(pts, want_i)
         got_g = group_point_sharded(pts, got_i, mesh2d)
         np.testing.assert_array_equal(np.asarray(got_g), np.asarray(want_g))
+
+
+@pytest.mark.slow
+class TestSPModel:
+    """Full VoteNet with the SP backbone: PointNetSAModule.sp_mesh wires the
+    point-sharded grouping stage into sa1 (the only layer whose input cloud
+    qualifies under sp_min_points). Forward must be BIT-IDENTICAL to the
+    single-device model (same params), and a dp x sp training step must run
+    and match the single-device gradients."""
+
+    @pytest.fixture(scope="class")
+    def cfg(self):
+        from votenet_tpu.config import tiny_config
+
+        return tiny_config(batch_size=2)
+
+    @pytest.fixture(scope="class")
+    def variables(self, cfg):
+        from votenet_tpu.models.votenet import VoteNet
+
+        pts = jnp.zeros((1, cfg.point_num, 3), jnp.float32)
+        return jax.jit(
+            lambda r, p: VoteNet(cfg).init(r, p, train=False)
+        )(jax.random.PRNGKey(0), pts)
+
+    @pytest.mark.parametrize("train", [False, True])
+    def test_forward_bitexact(self, cfg, variables, mesh, rng, train):
+        from votenet_tpu.models.votenet import VoteNet
+
+        pts = _cloud(rng, 2, cfg.point_num)
+        base = VoteNet(cfg)
+        sp = VoteNet(cfg, sp_mesh=mesh, sp_min_points=cfg.point_num)
+        kw = dict(train=train, mutable=["batch_stats"] if train else False)
+        want = base.apply(variables, pts, **kw)
+        got = sp.apply(variables, pts, **kw)
+        if train:
+            (want, want_bs), (got, got_bs) = want, got
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b)
+                ),
+                want_bs,
+                got_bs,
+            )
+        for k in want:
+            np.testing.assert_array_equal(
+                np.asarray(got[k]), np.asarray(want[k]), err_msg=k
+            )
+
+    def test_dpsp_train_step_matches_single_device(self, cfg, mesh2d, rng):
+        """One full training step on the 2x4 ('data', 'points') mesh: batch
+        sharded over data, sa1's cloud over points. The contract is GRADIENT
+        agreement (allclose — the dp batch-mean all-reduce reassociates the
+        reduction) plus a loss-match on the executed sharded step. Post-
+        optimizer params are NOT compared: at step 1 the Adam-style update is
+        ~lr*sign(grad), so ulp-level gradient reassociation flips the sign of
+        near-zero gradients — an unstable (and meaningless) contract."""
+        from votenet_tpu.models.votenet import VoteNet
+        from votenet_tpu.models.losses import votenet_loss
+        from votenet_tpu.parallel.mesh import batch_sharding, replicated_sharding
+        from votenet_tpu.train.loop import GT_KEYS, make_train_step
+        from votenet_tpu.train.state import create_train_state
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        state = create_train_state(jax.random.PRNGKey(0), cfg, steps_per_epoch=4)
+        B, G = 4, cfg.max_gt_boxes
+        batch = {
+            "points": rng.randn(B, cfg.point_num, 3).astype(np.float32),
+            "bboxes_xyz": rng.randn(B, G, 3).astype(np.float32),
+            "bboxes_lwh": rng.uniform(0.5, 2, (B, G, 3)).astype(np.float32),
+            "bboxes_roty": rng.uniform(0, 6.28, (B, G)).astype(np.float32),
+            "semantic_labels": rng.randint(0, cfg.num_class, (B, G)).astype(np.int32),
+            "heading_labels": rng.randint(0, cfg.num_heading_bin, (B, G)).astype(
+                np.int32
+            ),
+            "heading_residuals": (rng.randn(B, G) * 0.1).astype(np.float32),
+            "size_labels": rng.randint(0, cfg.num_size_cluster, (B, G)).astype(
+                np.int32
+            ),
+            "size_residuals": (rng.randn(B, G, 3) * 0.1).astype(np.float32),
+            "gt_count": np.full((B,), G, np.int32),
+        }
+
+        base_step = jax.jit(make_train_step(VoteNet(cfg), cfg))
+        _, want_metrics = base_step(state, batch)
+
+        sp_model = VoteNet(
+            cfg,
+            sp_mesh=mesh2d,
+            sp_batch_axis="data",
+            sp_min_points=cfg.point_num,
+        )
+        shardings = {k: batch_sharding(mesh2d) for k in batch}
+        shardings["points"] = NamedSharding(mesh2d, P("data", "points"))
+        sp_batch = {
+            k: jax.device_put(v, shardings[k]) for k, v in batch.items()
+        }
+        sp_step = jax.jit(
+            make_train_step(sp_model, cfg),
+            in_shardings=(replicated_sharding(mesh2d), shardings),
+            out_shardings=(
+                replicated_sharding(mesh2d),
+                replicated_sharding(mesh2d),
+            ),
+        )
+        _, got_metrics = sp_step(state, sp_batch)
+
+        np.testing.assert_allclose(
+            float(got_metrics["total_cost"]),
+            float(want_metrics["total_cost"]),
+            rtol=1e-5,
+        )
+
+        # gradient agreement: the SP backward (group_point_sharded VJP,
+        # local scatter per shard) vs the single-device backward
+        gt = {k: batch[k] for k in GT_KEYS}
+
+        def make_loss(model):
+            def loss_fn(params):
+                end_points, _ = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch["points"] if model.sp_mesh is None else sp_batch["points"],
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                return votenet_loss(end_points, gt, cfg, "reference").total
+
+            return loss_fn
+
+        want_g = jax.jit(jax.grad(make_loss(VoteNet(cfg))))(state.params)
+        got_g = jax.jit(jax.grad(make_loss(sp_model)))(state.params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                # observed: <=5.3e-6 abs on ~1e-3-scale elements — the dp
+                # batch-mean / BN reductions reassociate across the split
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5
+            ),
+            got_g,
+            want_g,
+        )
+
+    def test_sp_rejects_knn_and_split_coords(self, cfg, mesh, rng):
+        from votenet_tpu.models.pointnet2 import PointNetSAModule
+
+        xyz = _cloud(rng, 1, 64)
+        mod = PointNetSAModule(
+            npoint=16, radius=0.4, nsample=8, mlp=(16,), knn=True, sp_mesh=mesh
+        )
+        with pytest.raises(ValueError, match="knn"):
+            mod.init(jax.random.PRNGKey(0), xyz, None, False)

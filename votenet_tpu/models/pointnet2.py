@@ -24,6 +24,7 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 from jax import lax
+from jax.sharding import Mesh
 
 from votenet_tpu import ops
 
@@ -260,6 +261,16 @@ class PointNetSAModule(nn.Module):
     # sa2..sa4 at B=8. Must stay True for the proposal layer (its "xyz"
     # are votes, which carry gradient to the voting MLP).
     coord_grad: bool = True
+    # Point-axis (SP) sharding: when set, the layer's O(N) grouping stage
+    # (FPS, ball query, gathers) runs point-sharded over this mesh's
+    # ``sp_axis`` via parallel/point_sharded.py — bit-identical results,
+    # shard-local O(N/devices) working sets, collectives over ICI. The
+    # MLP/pool (O(npoint), no N dependence) stay replicated over sp_axis.
+    # ``sp_batch_axis`` additionally shards the batch (dp x sp). Only the
+    # ball-query grouping modes are supported (no knn/group_all).
+    sp_mesh: Optional[Mesh] = None
+    sp_axis: str = "points"
+    sp_batch_axis: Optional[str] = None
 
     def _mlp_stack(self, widths, name, final_activation=True):
         return MLPStack(
@@ -285,7 +296,59 @@ class PointNetSAModule(nn.Module):
             and self.pooling != "weighted_avg"
             and len(self.mlp) > 0
         )
-        if fused:
+        if self.sp_mesh is not None:
+            if self.group_all or self.knn:
+                raise ValueError(
+                    "sp_mesh supports ball-query grouping only (no knn/group_all)"
+                )
+            if self.split_coords:
+                raise ValueError(
+                    "sp_mesh + split_coords (mixed precision) is not wired; "
+                    "run SP in f32 (mixed precision measured negative anyway, "
+                    "DESIGN.md)"
+                )
+            from votenet_tpu.parallel.point_sharded import (
+                farthest_point_sample_sharded,
+                gather_point_sharded,
+                group_point_sharded,
+                query_ball_point_sharded,
+                sample_and_group_sharded,
+            )
+
+            mesh, ax, bax = self.sp_mesh, self.sp_axis, self.sp_batch_axis
+            if fused:
+                fps_src = sample_xyz if sample_xyz is not None else xyz
+                fps_idx = farthest_point_sample_sharded(
+                    self.npoint, fps_src, mesh, ax, bax
+                )
+                new_xyz = gather_point_sharded(xyz, fps_idx, mesh, ax, bax)
+                idx, _ = query_ball_point_sharded(
+                    self.radius, self.nsample, xyz, new_xyz, mesh, ax, bax
+                )
+                gather_xyz = xyz if self.coord_grad else lax.stop_gradient(xyz)
+                both = (
+                    jnp.concatenate([gather_xyz, points], axis=-1)
+                    if points is not None
+                    else gather_xyz
+                )
+                # gather-first at train AND infer: project-before-gather
+                # would run dense0 over the sharded N axis (cheap) but its
+                # single-chip win rode the replicated gather's byte savings
+                # — unmeasured on a real pod, so SP keeps the one exact
+                # formulation. Forward numerics match the single-device
+                # train path bit-for-bit (same gathers, same matmuls).
+                g_raw = group_point_sharded(both, idx, mesh, ax, bax)
+                new_points = self._mlp_stack(self.mlp, "mlp")(
+                    g_raw, train, center=new_xyz
+                )
+                grouped_xyz = None
+            else:
+                new_xyz, new_points, idx, grouped_xyz = sample_and_group_sharded(
+                    self.npoint, self.radius, self.nsample, xyz, points,
+                    mesh, ax, use_xyz=self.use_xyz, batch_axis=bax,
+                )
+                new_points = self._mlp_stack(self.mlp, "mlp")(new_points, train)
+        elif fused:
             fps_src = sample_xyz if sample_xyz is not None else xyz
             new_xyz = ops.gather_point(
                 xyz, ops.farthest_point_sample(self.npoint, fps_src)

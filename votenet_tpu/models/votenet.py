@@ -23,10 +23,11 @@ decode + NMS are separate pure functions applied on top.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 from votenet_tpu.config import Config
 from votenet_tpu.models.pointnet2 import (
@@ -69,9 +70,25 @@ class VotingModule(nn.Module):
 
 
 class VoteNet(nn.Module):
-    """Full VoteNet forward pass -> end-points dict."""
+    """Full VoteNet forward pass -> end-points dict.
+
+    ``sp_mesh`` enables point-axis (SP) sharding for the large-N backbone:
+    every SA layer whose INPUT cloud holds >= ``sp_min_points`` points (and
+    divides the ``sp_axis`` mesh size) runs its O(N) grouping stage
+    point-sharded (parallel/point_sharded.py) — bit-identical outputs,
+    shard-local working sets, so the reachable point count scales with the
+    mesh. With the default config only sa1 (N=20480) qualifies; every
+    downstream tensor is O(npoint)<=2048 and stays replicated over sp_axis.
+    ``sp_batch_axis`` names the data-parallel mesh axis for a combined
+    dp x sp layout (exercised in __graft_entry__.dryrun_multichip and
+    tests/test_point_sharded.py).
+    """
 
     config: Config
+    sp_mesh: Optional[Mesh] = None
+    sp_axis: str = "points"
+    sp_batch_axis: Optional[str] = None
+    sp_min_points: int = 4096
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, train: bool = False) -> Dict[str, Any]:
@@ -99,8 +116,18 @@ class VoteNet(nn.Module):
         bn_kw = dict(bn_momentum=cfg.bn_momentum, bn_eps=cfg.bn_eps)
         xyz, feats = l0_xyz, l0_points
         sa_out = []
+        n_in = cfg.point_num
         for i in range(4):
+            sp_on = (
+                self.sp_mesh is not None
+                and n_in >= self.sp_min_points
+                and n_in % self.sp_mesh.shape[self.sp_axis] == 0
+            )
+            n_in = cfg.sa_npoints[i]
             xyz, feats, _ = sa_cls(
+                sp_mesh=self.sp_mesh if sp_on else None,
+                sp_axis=self.sp_axis,
+                sp_batch_axis=self.sp_batch_axis,
                 npoint=cfg.sa_npoints[i],
                 radius=cfg.sa_radii[i],
                 nsample=cfg.sa_nsamples[i],

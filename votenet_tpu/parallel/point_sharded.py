@@ -34,7 +34,13 @@ mesh):
 
 Collectives: ``all_gather`` of O(M)-sized partials and one ``psum`` for the
 gather — all riding ICI on a real pod. The mesh axis can coexist with the
-batch axis (a ('data', 'points') 2-D mesh gives dp x sp).
+batch axis (a ('data', 'points') 2-D mesh gives dp x sp): every op takes
+``batch_axis`` — when set, the leading (batch) dimension is sharded over
+that mesh axis too, the per-shard bodies see only their local batch rows,
+and no collective ever crosses the batch axis (the bodies are
+batch-elementwise; collectives name only the point axis). This is what lets
+the full dp x sp training step run without all-gathering the batch
+(``models.pointnet2.PointNetSAModule.sp_mesh`` wires it into the model).
 """
 
 from __future__ import annotations
@@ -77,13 +83,17 @@ def query_ball_point_sharded(
     xyz2: jnp.ndarray,
     mesh: Mesh,
     axis: str = "points",
+    batch_axis: Optional[str] = None,
 ):
     """Ball query with the dataset cloud sharded over ``axis``.
 
     xyz1: (B, N, 3) dataset (N sharded), xyz2: (B, M, 3) queries
-    (replicated). Returns replicated (idx, cnt) — bit-identical to
+    (replicated over ``axis``). Returns (idx, cnt) replicated over ``axis``
+    — bit-identical to
     :func:`votenet_tpu.ops.grouping.query_ball_point_dense`. Honors
-    ``ops.dispatch.bq_precision()`` like the single-device op.
+    ``ops.dispatch.bq_precision()`` like the single-device op. With
+    ``batch_axis`` the batch dimension is additionally sharded over that
+    mesh axis (dp x sp); the merge collectives still name only ``axis``.
     """
     from votenet_tpu.ops.dispatch import bq_precision
 
@@ -116,14 +126,18 @@ def query_ball_point_sharded(
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, axis), P()),
-        out_specs=(P(), P()),
+        in_specs=(P(batch_axis, axis), P(batch_axis)),
+        out_specs=(P(batch_axis), P(batch_axis)),
         check_vma=False,
     )(xyz1, xyz2)
 
 
 def three_nn_sharded(
-    xyz1: jnp.ndarray, xyz2: jnp.ndarray, mesh: Mesh, axis: str = "points"
+    xyz1: jnp.ndarray,
+    xyz2: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "points",
+    batch_axis: Optional[str] = None,
 ):
     """3-NN with the SOURCE cloud sharded over ``axis``.
 
@@ -166,14 +180,18 @@ def three_nn_sharded(
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(None, axis)),
-        out_specs=(P(), P()),
+        in_specs=(P(batch_axis), P(batch_axis, axis)),
+        out_specs=(P(batch_axis), P(batch_axis)),
         check_vma=False,  # replicated-by-construction merge (see above)
     )(xyz1, xyz2)
 
 
 def group_point_sharded(
-    points: jnp.ndarray, idx: jnp.ndarray, mesh: Mesh, axis: str = "points"
+    points: jnp.ndarray,
+    idx: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "points",
+    batch_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Grouped gather with the source table sharded over ``axis``.
 
@@ -200,20 +218,26 @@ def group_point_sharded(
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, axis), P()),
-        out_specs=P(),
+        in_specs=(P(batch_axis, axis), P(batch_axis)),
+        out_specs=P(batch_axis),
     )(points, idx)
 
 
 def gather_point_sharded(
-    points: jnp.ndarray, idx: jnp.ndarray, mesh: Mesh, axis: str = "points"
+    points: jnp.ndarray,
+    idx: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "points",
+    batch_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """(B, N, C) sharded table, (B, M) global indices -> replicated (B, M, C).
 
     The (B, M)-indexed twin of :func:`group_point_sharded` (reference
     ``gather_point``, tf_sampling_g.cu:172-181). Differentiable.
     """
-    return group_point_sharded(points, idx[:, :, None], mesh, axis)[:, :, 0, :]
+    return group_point_sharded(points, idx[:, :, None], mesh, axis, batch_axis)[
+        :, :, 0, :
+    ]
 
 
 def sample_and_group_sharded(
@@ -225,6 +249,7 @@ def sample_and_group_sharded(
     mesh: Mesh,
     axis: str = "points",
     use_xyz: bool = True,
+    batch_axis: Optional[str] = None,
 ):
     """The SA-layer grouping stage with the input cloud sharded over ``axis``.
 
@@ -235,12 +260,14 @@ def sample_and_group_sharded(
     the downstream MLP/pool (O(M·S·C), no N dependence) runs unsharded.
     Bit-identical to the single-device path (tested).
     """
-    fps_idx = farthest_point_sample_sharded(npoint, xyz, mesh, axis)
-    new_xyz = gather_point_sharded(xyz, fps_idx, mesh, axis)
-    idx, _ = query_ball_point_sharded(radius, nsample, xyz, new_xyz, mesh, axis)
+    fps_idx = farthest_point_sample_sharded(npoint, xyz, mesh, axis, batch_axis)
+    new_xyz = gather_point_sharded(xyz, fps_idx, mesh, axis, batch_axis)
+    idx, _ = query_ball_point_sharded(
+        radius, nsample, xyz, new_xyz, mesh, axis, batch_axis
+    )
     if points is not None:
         both = group_point_sharded(
-            jnp.concatenate([xyz, points], axis=-1), idx, mesh, axis
+            jnp.concatenate([xyz, points], axis=-1), idx, mesh, axis, batch_axis
         )
         grouped_xyz = both[..., :3] - new_xyz[:, :, None, :]
         grouped_points = both[..., 3:]
@@ -250,14 +277,19 @@ def sample_and_group_sharded(
             new_points = grouped_points
     else:
         grouped_xyz = (
-            group_point_sharded(xyz, idx, mesh, axis) - new_xyz[:, :, None, :]
+            group_point_sharded(xyz, idx, mesh, axis, batch_axis)
+            - new_xyz[:, :, None, :]
         )
         new_points = grouped_xyz
     return new_xyz, new_points, idx, grouped_xyz
 
 
 def farthest_point_sample_sharded(
-    npoint: int, xyz: jnp.ndarray, mesh: Mesh, axis: str = "points"
+    npoint: int,
+    xyz: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "points",
+    batch_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """FPS with the point cloud sharded over ``axis``.
 
@@ -310,6 +342,9 @@ def farthest_point_sample_sharded(
         return lax.stop_gradient(idxs)
 
     return jax.shard_map(
-        local, mesh=mesh, in_specs=(P(None, axis),), out_specs=P(),
+        local,
+        mesh=mesh,
+        in_specs=(P(batch_axis, axis),),
+        out_specs=P(batch_axis),
         check_vma=False,  # replicated-by-construction selection (see above)
     )(xyz)
