@@ -36,7 +36,30 @@ def main():
                         help="run seed: parameter init + epoch-shuffle order "
                              "(default 0 = the deterministic A2 baseline; "
                              "vary it for independent runs / variance bounds)")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host pod launch: run jax.distributed."
+                             "initialize() before anything touches the "
+                             "backend. Argless on a real TPU pod (the PJRT "
+                             "plugin auto-detects coordinator/topology); "
+                             "for manual clusters / the CPU smoke pass "
+                             "--coordinator/--num_processes/--process_id")
+    parser.add_argument("--coordinator", default=None,
+                        help="host:port of process 0 (omit on TPU pods)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args, config_argv = parser.parse_known_args()
+
+    if args.distributed:
+        # must run before jax.devices()/apply_config initialize the backend
+        if args.coordinator is not None:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        else:
+            jax.distributed.initialize()
+    is_main = jax.process_index() == 0
 
     from votenet_tpu.config import config_from_args, default_config
     from votenet_tpu.data.dataflow import SunRGBDDataFlow, batch_scenes
@@ -79,10 +102,31 @@ def main():
             f"mesh; training at batch_size={cfg.batch_size} instead",
             stacklevel=1,
         )
-    print(f"devices={n_dev} batch={cfg.batch_size} mesh={mesh}")
+    # cfg.batch_size is the GLOBAL batch; on a multi-process pod each
+    # process's input pipeline contributes batch_size/process_count rows
+    # (assembled into one global array by parallel.mesh.shard_batch)
+    pc = jax.process_count()
+    if cfg.batch_size % pc != 0:
+        raise ValueError(
+            f"global batch_size={cfg.batch_size} must be divisible by "
+            f"process_count={pc}"
+        )
+    local_batch = cfg.batch_size // pc
+    print(f"devices={n_dev} batch={cfg.batch_size} mesh={mesh} "
+          f"proc={jax.process_index()}/{pc} local_rows={local_batch}",
+          flush=True)
 
     if args.synthetic:
         train_scenes = synthetic_scenes(0, cfg, args.synthetic)
+        if pc > 1:
+            # every process generates the identical global scene list
+            # (deterministic), then trains on only its host-local slice
+            from votenet_tpu.parallel.mesh import host_local_slice
+
+            train_scenes = [
+                train_scenes[i]
+                for i in host_local_slice(list(range(len(train_scenes))))
+            ]
         val_scenes = synthetic_scenes(1, cfg, max(args.synthetic // 4, 2))
         gt_all = synthetic_gt_all(val_scenes)
 
@@ -97,7 +141,7 @@ def main():
 
             order = shuffle_rng.permutation(len(train_scenes))
             return prefetch(batch_scenes(
-                (train_scenes[i] for i in order), cfg.batch_size, cfg.max_gt_boxes
+                (train_scenes[i] for i in order), local_batch, cfg.max_gt_boxes
             ))
 
         val_iter = lambda: [(int(s["data_idx"]), s["points"]) for s in val_scenes]
@@ -125,21 +169,30 @@ def main():
             # background-thread prefetch overlaps host scene processing with
             # device steps (the reference's PrefetchDataZMQ+QueueInput role)
             return prefetch(
-                batch_scenes(iter(train_flow), cfg.batch_size, cfg.max_gt_boxes),
+                batch_scenes(iter(train_flow), local_batch, cfg.max_gt_boxes),
                 buffer_size=8,
             )
 
         from votenet_tpu.eval.evaluator import gt_dict_from_labels
 
-        val_cache = [(s["data_idx"], s) for s in val_flow]
-        gt_all = gt_dict_from_labels({int(i): s for i, s in val_cache})
-        val_iter = lambda: [(int(i), s["points"]) for i, s in val_cache]
+        # periodic eval runs only on process 0 (see eval_callback below);
+        # the other hosts skip loading the 5050-scene val split entirely
+        if is_main:
+            val_cache = [(s["data_idx"], s) for s in val_flow]
+            gt_all = gt_dict_from_labels({int(i): s for i, s in val_cache})
+            val_iter = lambda: [(int(i), s["points"]) for i, s in val_cache]
+        else:
+            gt_all, val_iter = {}, lambda: []
 
     # LR-schedule epoch boundaries must track what the Trainer counts as an
     # epoch: one exhaustion of the (per-process) train flow. With sliced
     # multi-host input each process sees len(local_train_idx) scenes/epoch.
-    n_epoch_scenes = args.synthetic if args.synthetic else len(local_train_idx)
-    steps_per_epoch = max(n_epoch_scenes // cfg.batch_size, 1)
+    # one epoch = one exhaustion of THIS process's flow; every process has
+    # the same local scene count (host_local_slice pads by wrapping), so the
+    # step counts — and with them the LR schedule and the number of jitted
+    # steps entering the SPMD collectives — agree across the pod
+    n_epoch_scenes = len(train_scenes) if args.synthetic else len(local_train_idx)
+    steps_per_epoch = max(n_epoch_scenes // local_batch, 1)
     state = create_train_state(jax.random.PRNGKey(args.seed), cfg, steps_per_epoch)
     model = VoteNet(cfg)
     evaluator = Evaluator(cfg, gt_all, batch_size=max(cfg.batch_size, 4))
@@ -151,6 +204,11 @@ def main():
     _val_dev_cache = []
 
     def eval_callback(state, epoch):
+        # mAP eval is process-0-only: the predict fn is an ordinary local
+        # jit (no pod collectives), so the other processes simply proceed to
+        # the next epoch and block on its first all-reduce until p0 rejoins
+        if not is_main:
+            return {}
         from votenet_tpu.eval.evaluator import DeviceSceneCache
 
         if not _val_dev_cache:
@@ -169,7 +227,17 @@ def main():
         log_dir=args.log_dir, mesh=mesh,
         pad_semantics=args.pad_semantics, eval_callback=eval_callback,
     )
-    trainer.fit(batch_factory)
+    final_state = trainer.fit(batch_factory)
+
+    # Replicated-state fingerprint: on a pod every process must print the
+    # identical value — the gradient all-reduce proof asserted by
+    # benchmarks/multiprocess_train_smoke.py.
+    import jax.numpy as jnp
+
+    l2 = float(jnp.sqrt(sum(
+        jnp.vdot(p, p).real for p in jax.tree_util.tree_leaves(final_state.params)
+    )))
+    print(f"[proc {jax.process_index()}] final params_l2={l2:.6f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -84,11 +84,22 @@ def host_local_slice(ids: Sequence, process_index: Optional[int] = None,
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
-    """Device-put a host batch with the leading axis sharded over the mesh.
+    """Place a host batch on the mesh with the leading axis sharded.
 
-    The global batch size must divide the mesh axis size. On multi-host
-    pods each process feeds its addressable shard; on a single host this
-    scatters the arrays across local devices.
+    Single process: a plain sharded ``device_put`` (the global batch is
+    scattered across local devices). Multi-process (a pod launched with
+    ``run_train.py --distributed``): each process passes only ITS local
+    rows — ``global_batch / process_count`` scenes read by its own input
+    pipeline — and the rows are assembled into one global array via
+    ``jax.make_array_from_process_local_data`` (the per-host DCN input
+    path, SURVEY §2.3; exercised by benchmarks/multiprocess_train_smoke.py).
     """
     sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)

@@ -86,7 +86,14 @@ class Trainer:
         self.log_dir = log_dir
         self.mesh = mesh
         self.eval_callback = eval_callback
-        self.logger = MetricLogger(log_dir)
+        # Multi-process pods: every process runs the identical jitted steps
+        # (SPMD), but only process 0 writes checkpoints/stat.json and prints
+        # step lines; log_dir is assumed shared (or at least present) on
+        # every host so resume() restores the same step everywhere.
+        self.is_main = jax.process_index() == 0
+        self.logger = MetricLogger(
+            log_dir if self.is_main else None, quiet=not self.is_main
+        )
         self.epoch = 0
 
         step_fn = make_train_step(model, config, pad_semantics)
@@ -112,7 +119,8 @@ class Trainer:
         if step is not None:
             self.state = state
             self.epoch = int(step)
-            print(f"resumed from epoch {self.epoch}", flush=True)
+            if self.is_main:
+                print(f"resumed from epoch {self.epoch}", flush=True)
         return step
 
     def _put_batch(self, batch: Dict) -> Dict:
@@ -162,6 +170,6 @@ class Trainer:
                     {k: v for k, v in eval_metrics.items() if isinstance(v, (int, float))}
                 )
             self.logger.log_epoch(self.epoch, epoch_scalars)
-            if self.log_dir:
+            if self.log_dir and self.is_main:
                 ckpt.save_checkpoint(self.log_dir, self.state, self.epoch)
         return self.state

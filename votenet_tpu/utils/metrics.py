@@ -34,9 +34,14 @@ class MovingAverage:
 class MetricLogger:
     """Terminal + stat.json scalar logging."""
 
-    def __init__(self, log_dir: Optional[str] = None, print_every: int = 50):
+    def __init__(self, log_dir: Optional[str] = None, print_every: int = 50,
+                 quiet: bool = False):
         self.log_dir = log_dir
         self.print_every = print_every
+        # quiet: keep the moving averages (the Trainer returns them) but
+        # emit no terminal lines — used by non-zero processes on a pod so
+        # per-step output isn't duplicated process_count times
+        self.quiet = quiet
         self.moving = MovingAverage(100)
         self.history = []
         self._t0 = time.time()
@@ -45,6 +50,8 @@ class MetricLogger:
 
     def log_step(self, step: int, scalars: Dict[str, float]) -> None:
         self.moving.update(scalars)
+        if self.quiet:
+            return
         if step % self.print_every == 0:
             avg = self.moving.averages()
             parts = " ".join(f"{k}={v:.4f}" for k, v in sorted(avg.items()))
@@ -55,10 +62,11 @@ class MetricLogger:
         record.update(self.moving.averages())
         record.update({k: float(v) for k, v in scalars.items()})
         self.history.append(record)
-        parts = " ".join(
-            f"{k}={v:.4f}" for k, v in sorted(record.items()) if k != "wall_time"
-        )
-        print(f"[epoch {epoch}] {parts}", flush=True)
+        if not self.quiet:
+            parts = " ".join(
+                f"{k}={v:.4f}" for k, v in sorted(record.items()) if k != "wall_time"
+            )
+            print(f"[epoch {epoch}] {parts}", flush=True)
         if self.log_dir:
             with open(os.path.join(self.log_dir, "stat.json"), "w") as f:
                 json.dump(self.history, f, indent=1)
