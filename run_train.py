@@ -32,6 +32,15 @@ def main():
                         choices=["reference", "masked"])
     parser.add_argument("--preset", default="full", choices=["full", "tiny"],
                         help="tiny = scaled-down model for smoke tests")
+    parser.add_argument("--scan_gt", action="store_true",
+                        help="scan the split's GT-box count distribution, "
+                             "check it against max_gt_boxes, and exit "
+                             "(sizes the static cap; the reference pads "
+                             "unboundedly, run.py:62-64)")
+    parser.add_argument("--with_summaries", action="store_true",
+                        help="log per-leaf weight-RMS / grad-norm scalars to "
+                             "stat.json (the reference's weight/gradient "
+                             "summaries, model.py:236,250)")
     parser.add_argument("--seed", type=int, default=0,
                         help="run seed: parameter init + epoch-shuffle order "
                              "(default 0 = the deterministic A2 baseline; "
@@ -184,6 +193,23 @@ def main():
         else:
             gt_all, val_iter = {}, lambda: []
 
+    if args.scan_gt:
+        import json as _json
+
+        from votenet_tpu.data.dataflow import scan_gt_counts
+
+        stream = iter(train_scenes) if args.synthetic else iter(train_flow)
+        report = scan_gt_counts(stream)
+        report["max_gt_boxes"] = cfg.max_gt_boxes
+        report["fits"] = report["max"] <= cfg.max_gt_boxes
+        print(_json.dumps(report))
+        if not report["fits"]:
+            raise SystemExit(
+                f"max GT count {report['max']} exceeds max_gt_boxes="
+                f"{cfg.max_gt_boxes}: raise --max_gt_boxes"
+            )
+        return
+
     # LR-schedule epoch boundaries must track what the Trainer counts as an
     # epoch: one exhaustion of the (per-process) train flow. With sliced
     # multi-host input each process sees len(local_train_idx) scenes/epoch.
@@ -226,6 +252,7 @@ def main():
         model, cfg, state,
         log_dir=args.log_dir, mesh=mesh,
         pad_semantics=args.pad_semantics, eval_callback=eval_callback,
+        with_summaries=args.with_summaries,
     )
     final_state = trainer.fit(batch_factory)
 

@@ -115,3 +115,40 @@ class TestBatching:
         assert len(batches) == 3
         last = batches[-1]
         np.testing.assert_array_equal(last["points"][0], last["points"][1])  # repeated
+
+
+class TestGTOverflow:
+    def test_overflow_raises_by_default(self):
+        from votenet_tpu.data.dataflow import GTOverflowError
+
+        cfg = Config(point_num=64, max_gt_boxes=8)
+        s = synthetic_scenes(3, cfg, 1)[0]
+        n = s["bboxes_xyz"].shape[0]
+        with pytest.raises(GTOverflowError):
+            pad_gt_to_static(s, n - 1)
+
+    def test_overflow_truncate_optin_warns(self):
+        cfg = Config(point_num=64, max_gt_boxes=8)
+        s = synthetic_scenes(3, cfg, 1)[0]
+        n = s["bboxes_xyz"].shape[0]
+        with pytest.warns(UserWarning, match="GT boxes exceed"):
+            out = pad_gt_to_static(s, n - 1, on_overflow="truncate")
+        assert out["bboxes_xyz"].shape == (n - 1, 3)
+        assert out["gt_count"] == n - 1
+
+    def test_scan_gt_counts(self):
+        from votenet_tpu.data.dataflow import scan_gt_counts
+
+        cfg = Config(point_num=64, max_gt_boxes=8)
+        scenes = synthetic_scenes(2, cfg, 6)
+        report = scan_gt_counts(iter(scenes))
+        counts = [s["bboxes_xyz"].shape[0] for s in scenes]
+        assert report["n_scenes"] == 6
+        assert report["max"] == max(counts)
+        assert sum(report["histogram"].values()) == 6
+        assert report["p50"] <= report["p95"] <= report["p99"] <= report["max"]
+
+    def test_scan_gt_counts_empty(self):
+        from votenet_tpu.data.dataflow import scan_gt_counts
+
+        assert scan_gt_counts(iter([]))["n_scenes"] == 0

@@ -303,8 +303,12 @@ class TestLoudEdgeCases:
             )
         assert scene is None
 
-    def test_gt_truncation_warns(self):
-        from votenet_tpu.data.dataflow import SCENE_KEYS, pad_gt_to_static
+    def test_gt_overflow_raises_then_truncate_warns(self):
+        from votenet_tpu.data.dataflow import (
+            GTOverflowError,
+            SCENE_KEYS,
+            pad_gt_to_static,
+        )
 
         rng = np.random.RandomState(0)
         scene = {"data_idx": np.int32(42), "points": rng.randn(16, 3)}
@@ -312,8 +316,12 @@ class TestLoudEdgeCases:
         for k in SCENE_KEYS:
             scene[k] = rng.randn(n, 3) if k.endswith(("xyz", "lwh", "residuals")) else rng.randn(n)
         scene["size_residuals"] = rng.randn(n, 3)
+        # default: loud failure — silent GT loss changes training targets
+        with pytest.raises(GTOverflowError, match="max_gt_boxes"):
+            pad_gt_to_static(scene, 4)
+        # explicit opt-in: warn and truncate
         with pytest.warns(UserWarning, match="max_gt_boxes"):
-            out = pad_gt_to_static(scene, 4)
+            out = pad_gt_to_static(scene, 4, on_overflow="truncate")
         assert out["gt_count"] == 4
         assert out["bboxes_xyz"].shape[0] == 4
 

@@ -254,3 +254,51 @@ class TestCoordGradNarrowing:
         g_full = jax.tree_util.tree_leaves(grads(True))
         for a, b in zip(g_wired, g_full):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+class TestParamSummaries:
+    """Per-leaf weight/grad observability (reference model.py:236,250)."""
+
+    def test_summary_keys_in_metrics(self):
+        from votenet_tpu.models.votenet import VoteNet
+        from votenet_tpu.train.loop import make_train_step
+        from votenet_tpu.train.state import create_train_state
+
+        cfg = smoke_config()
+        state = create_train_state(jax.random.PRNGKey(0), cfg, steps_per_epoch=4)
+        model = VoteNet(cfg)
+        step = jax.jit(make_train_step(model, cfg, with_summaries=True))
+        batch = synthetic_batches(cfg, 1)[0]
+        _, metrics = step(state, batch)
+        w_keys = [k for k in metrics if k.startswith("w_rms/")]
+        g_keys = [k for k in metrics if k.startswith("g_norm/")]
+        assert len(w_keys) == len(jax.tree_util.tree_leaves(state.params))
+        assert "g_norm/global" in metrics
+        assert len(g_keys) == len(w_keys) + 1  # per-leaf + global
+        # paths are human-readable module paths, not indices
+        assert any("kernel" in k for k in w_keys)
+        vals = np.asarray([float(metrics[k]) for k in w_keys + g_keys])
+        assert np.isfinite(vals).all()
+        # the global norm ties out against the per-leaf norms
+        per_leaf = np.asarray(
+            [float(metrics[k]) for k in g_keys if k != "g_norm/global"]
+        )
+        np.testing.assert_allclose(
+            float(metrics["g_norm/global"]),
+            np.sqrt(np.sum(per_leaf**2)),
+            rtol=1e-5,
+        )
+
+    def test_stat_json_carries_summaries(self, tmp_path):
+        from votenet_tpu.utils.metrics import MetricLogger
+
+        logger = MetricLogger(str(tmp_path))
+        logger.log_step(0, {"total_cost": 1.0, "w_rms/a/kernel": 0.5,
+                            "g_norm/global": 2.0})
+        logger.log_epoch(1, {})
+        import json
+
+        stats = json.load(open(tmp_path / "stat.json"))
+        assert stats[0]["w_rms/a/kernel"] == 0.5
+        assert stats[0]["g_norm/global"] == 2.0

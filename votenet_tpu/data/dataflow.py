@@ -251,23 +251,36 @@ class SunRGBDDataFlow:
                 yield scene
 
 
-def pad_gt_to_static(scene: Dict[str, np.ndarray], max_gt: int) -> Dict[str, np.ndarray]:
+class GTOverflowError(ValueError):
+    """A scene's GT-box count exceeds the static ``max_gt_boxes`` cap."""
+
+
+def pad_gt_to_static(
+    scene: Dict[str, np.ndarray], max_gt: int, on_overflow: str = "raise"
+) -> Dict[str, np.ndarray]:
     """Edge-pad per-box arrays to a static length (replicating the last box,
     the reference's np.pad mode='edge', run.py:14-24) + gt_count.
 
     The reference pads to the per-batch max with no cap (run.py:62-64); our
-    static shapes need a bound, so scenes with more than ``max_gt`` boxes are
-    truncated — loudly, since dropped GT changes training/eval targets. Raise
-    ``Config.max_gt_boxes`` (e.g. ``--max_gt_boxes=128``) if this fires.
+    static shapes need a bound. A scene exceeding it would silently change
+    training/eval targets, so ``on_overflow`` defaults to "raise"
+    (:class:`GTOverflowError` naming the scene — raise ``max_gt_boxes``,
+    e.g. ``--max_gt_boxes=128``, to keep the boxes). ``on_overflow=
+    "truncate"`` keeps the old warn-and-drop behavior as an explicit opt-in.
+    Run ``python run_train.py --scan_gt`` to measure a split's box-count
+    distribution before a long run (see :func:`scan_gt_counts`).
     """
     out = dict(scene)
     n = scene["bboxes_xyz"].shape[0]
     if n > max_gt:
-        warnings.warn(
+        msg = (
             f"scene {scene.get('data_idx', '?')}: {n} GT boxes exceed "
-            f"max_gt_boxes={max_gt}; truncating {n - max_gt} boxes. "
-            f"Raise Config.max_gt_boxes to keep them."
+            f"max_gt_boxes={max_gt}. Raise Config.max_gt_boxes to keep them"
+            f" (use --scan_gt to size it for the split)."
         )
+        if on_overflow == "raise":
+            raise GTOverflowError(msg)
+        warnings.warn(msg + f" Truncating {n - max_gt} boxes.")
         for k in SCENE_KEYS:
             out[k] = scene[k][:max_gt]
         n = max_gt
@@ -284,12 +297,15 @@ def batch_scenes(
     batch_size: int,
     max_gt: int,
     drop_remainder: bool = True,
+    on_overflow: str = "raise",
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Stack fixed-shape examples into batches (reference BatchData2Biggest,
-    run.py:27-92, made static-shape)."""
+    run.py:27-92, made static-shape). Scenes whose GT-box count exceeds
+    ``max_gt`` raise :class:`GTOverflowError` by default (``on_overflow`` —
+    see :func:`pad_gt_to_static`)."""
     holder: List[Dict[str, np.ndarray]] = []
     for scene in scenes:
-        holder.append(pad_gt_to_static(scene, max_gt))
+        holder.append(pad_gt_to_static(scene, max_gt, on_overflow))
         if len(holder) == batch_size:
             yield {k: np.stack([h[k] for h in holder]) for k in holder[0]}
             holder = []
@@ -297,3 +313,33 @@ def batch_scenes(
         while len(holder) < batch_size:  # repeat-pad the final partial batch
             holder.append(holder[-1])
         yield {k: np.stack([h[k] for h in holder]) for k in holder[0]}
+
+
+def scan_gt_counts(scenes: Iterator[Dict[str, np.ndarray]]) -> Dict[str, object]:
+    """Measure the whitelisted-GT-box count distribution of a scene stream.
+
+    The reference pads each batch to its own max with no global bound
+    (run.py:62-64), so any static ``max_gt_boxes`` cap is a guess until the
+    split is scanned. Returns ``{n_scenes, max, p50, p95, p99, histogram}``
+    where histogram maps box-count -> #scenes. Feed any scene iterator —
+    ``SunRGBDDataFlow`` over the real split when mounted, the mini fixture
+    or synthetic scenes otherwise. Used by ``run_train.py --scan_gt``.
+    """
+    counts: List[int] = []
+    for scene in scenes:
+        counts.append(int(scene["bboxes_xyz"].shape[0]))
+    if not counts:
+        return {"n_scenes": 0, "max": 0, "p50": 0, "p95": 0, "p99": 0,
+                "histogram": {}}
+    arr = np.asarray(counts)
+    hist: Dict[int, int] = {}
+    for c in counts:
+        hist[c] = hist.get(c, 0) + 1
+    return {
+        "n_scenes": len(counts),
+        "max": int(arr.max()),
+        "p50": int(np.percentile(arr, 50)),
+        "p95": int(np.percentile(arr, 95)),
+        "p99": int(np.percentile(arr, 99)),
+        "histogram": dict(sorted(hist.items())),
+    }

@@ -143,6 +143,70 @@ def convex_quad_intersection_area(P: jnp.ndarray, Q: jnp.ndarray) -> jnp.ndarray
     return jnp.where(cnt >= 3, area, 0.0)
 
 
+def convex_quad_intersection_area_edgeclip(P: jnp.ndarray, Q: jnp.ndarray) -> jnp.ndarray:
+    """Exact intersection area via directed boundary-segment clipping.
+
+    The boundary of P∩Q (both convex) consists of sub-segments of P's edges
+    that lie inside Q plus sub-segments of Q's edges that lie inside P.
+    Each edge, parametrized x(t) = a + t·d for t ∈ [0,1], is clipped against
+    the other quad's four half-planes — each constraint is LINEAR in t, so
+    the clip is just interval arithmetic (max of lower bounds, min of upper
+    bounds), no vertex collection at all. The shoelace integral over a
+    closed curve decomposes over its directed sub-segments
+    (area = ½ Σ cross(x_start, x_end)), and consecutive boundary segments
+    share endpoints, so summing the per-segment cross products in ANY order
+    gives the exact area — no angular rank/sort step.
+
+    Same exact-polygon-clip quantity as the reference (tf_nms3d.cpp:122-175)
+    and the rank-based method above, at ~1/10 the element count: the rank
+    method materializes (pairs, 24, 24) comparison tensors; this one peaks
+    at (pairs, 4, 4). Values agree with the rank method to float rounding
+    (cross-validated in tests); NMS keep masks are unchanged except for
+    pairs whose IoU sits within rounding distance of the threshold.
+    """
+    P, Q = jnp.broadcast_arrays(P, Q)
+    # normalize both to CCW so "inside" is cross >= 0
+    P = jnp.where(quad_signed_area(P)[..., None, None] >= 0, P, P[..., ::-1, :])
+    Q = jnp.where(quad_signed_area(Q)[..., None, None] >= 0, Q, Q[..., ::-1, :])
+
+    def boundary_contrib(A, B):
+        """Σ cross(x0, x1) over A's edges clipped to the inside of B."""
+        a = A  # (..., 4, 2) edge starts
+        d = jnp.roll(A, -1, axis=-2) - A  # edge directions
+        q = B[..., None, :, :]  # (..., 1, 4, 2) clip-plane anchors
+        e = (jnp.roll(B, -1, axis=-2) - B)[..., None, :, :]  # plane directions
+        am = a[..., :, None, :] - q  # (..., 4A, 4B, 2)
+        # inside(t): cross(e, x(t) - q) = c0 + t*c1 >= 0
+        c0 = e[..., 0] * am[..., 1] - e[..., 1] * am[..., 0]  # (..., 4A, 4B)
+        c1 = (
+            e[..., 0] * d[..., :, None, 1] - e[..., 1] * d[..., :, None, 0]
+        )
+        pos = c1 > _EPS
+        neg = c1 < -_EPS
+        t_at = -c0 / jnp.where(pos | neg, c1, 1.0)
+        lo = jnp.max(jnp.where(pos, t_at, 0.0), axis=-1)  # (..., 4A)
+        hi = jnp.min(jnp.where(neg, t_at, 1.0), axis=-1)
+        # parallel-and-outside: edge direction parallel to the plane with
+        # the start strictly outside -> the whole edge is clipped away
+        dead = jnp.any(~pos & ~neg & (c0 < -_EPS), axis=-1)
+        lo = jnp.clip(lo, 0.0, 1.0)
+        hi = jnp.clip(hi, 0.0, 1.0)
+        valid = (hi > lo) & ~dead
+        x0 = a + lo[..., None] * d
+        x1 = a + hi[..., None] * d
+        cr = x0[..., 0] * x1[..., 1] - x1[..., 0] * x0[..., 1]
+        return jnp.sum(jnp.where(valid, cr, 0.0), axis=-1)
+
+    area = 0.5 * (boundary_contrib(P, Q) + boundary_contrib(Q, P))
+    # exact-math no-op clamps; they bound float error and neutralize the
+    # degenerate-quad case (a zero-area quad has no interior, but its
+    # all-degenerate half-planes clip nothing above)
+    cap = jnp.minimum(
+        jnp.abs(quad_signed_area(P)), jnp.abs(quad_signed_area(Q))
+    )
+    return jnp.clip(area, 0.0, cap)
+
+
 _SH_CAP = 12  # vertex capacity through the 4 clip stages (final is <= 8)
 
 

@@ -33,8 +33,46 @@ GT_KEYS = (
 )
 
 
-def make_train_step(model, config: Config, pad_semantics: str = "reference"):
-    """Build the pure (state, batch) -> (state, metrics) step function."""
+def param_summary_scalars(params, grads) -> Dict[str, jnp.ndarray]:
+    """Per-leaf weight RMS and gradient L2-norm scalars.
+
+    The reference emits per-weight histogram/RMS summaries
+    (``tf.summary.histogram`` + ``add_moving_summary(rms(v))``,
+    /root/reference/model.py:236) and per-gradient summaries
+    (``gradproc.SummaryGradient``, model.py:250). The TPU equivalent is a
+    flat dict of ``w_rms/<path>`` and ``g_norm/<path>`` scalars computed
+    in-graph (a handful of tiny reductions — negligible next to the model),
+    plus a ``g_norm/global`` total. Keys use '/'-joined module paths, e.g.
+    ``w_rms/backbone/sa1/mlp/dense0/kernel``.
+    """
+    out = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        name = "/".join(
+            getattr(p, "key", getattr(p, "name", str(p))) for p in path
+        )
+        out[f"w_rms/{name}"] = jnp.sqrt(jnp.mean(jnp.square(leaf)))
+    sq_sum = jnp.zeros((), jnp.float32)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(grads):
+        name = "/".join(
+            getattr(p, "key", getattr(p, "name", str(p))) for p in path
+        )
+        leaf_sq = jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+        out[f"g_norm/{name}"] = jnp.sqrt(leaf_sq)
+        sq_sum = sq_sum + leaf_sq
+    out["g_norm/global"] = jnp.sqrt(sq_sum)
+    return out
+
+
+def make_train_step(
+    model, config: Config, pad_semantics: str = "reference",
+    with_summaries: bool = False,
+):
+    """Build the pure (state, batch) -> (state, metrics) step function.
+
+    ``with_summaries`` adds per-leaf weight-RMS / grad-norm scalars to the
+    metrics dict (see :func:`param_summary_scalars`) — parity with the
+    reference's weight/gradient summaries (model.py:236,250).
+    """
 
     def train_step(state: TrainState, batch: Dict):
         gt = {k: batch[k] for k in GT_KEYS}
@@ -52,7 +90,6 @@ def make_train_step(model, config: Config, pad_semantics: str = "reference"):
         (_, (losses, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
-        state = state.apply_gradients(grads=grads, batch_stats=new_bs)
         metrics = {
             "total_cost": losses.total,
             "vote_reg_loss": losses.vote_reg_loss,
@@ -62,6 +99,9 @@ def make_train_step(model, config: Config, pad_semantics: str = "reference"):
             "obj_accuracy": losses.obj_accuracy,
             "sem_accuracy": losses.sem_accuracy,
         }
+        if with_summaries:
+            metrics.update(param_summary_scalars(state.params, grads))
+        state = state.apply_gradients(grads=grads, batch_stats=new_bs)
         return state, metrics
 
     return train_step
@@ -79,6 +119,7 @@ class Trainer:
         mesh=None,
         pad_semantics: str = "reference",
         eval_callback: Optional[Callable[[TrainState, int], Dict]] = None,
+        with_summaries: bool = False,
     ):
         self.model = model
         self.config = config
@@ -88,15 +129,17 @@ class Trainer:
         self.eval_callback = eval_callback
         # Multi-process pods: every process runs the identical jitted steps
         # (SPMD), but only process 0 writes checkpoints/stat.json and prints
-        # step lines; log_dir is assumed shared (or at least present) on
-        # every host so resume() restores the same step everywhere.
+        # step lines. log_dir does NOT need to be shared: resume() restores
+        # on process 0 and broadcasts the state to every other process.
         self.is_main = jax.process_index() == 0
         self.logger = MetricLogger(
             log_dir if self.is_main else None, quiet=not self.is_main
         )
         self.epoch = 0
 
-        step_fn = make_train_step(model, config, pad_semantics)
+        step_fn = make_train_step(
+            model, config, pad_semantics, with_summaries=with_summaries
+        )
         if mesh is not None:
             from votenet_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
@@ -112,9 +155,17 @@ class Trainer:
             self._train_step = jax.jit(step_fn, donate_argnums=0)
 
     def resume(self) -> Optional[int]:
-        """Auto-resume from the latest checkpoint (AutoResumeTrainConfig)."""
+        """Auto-resume from the latest checkpoint (AutoResumeTrainConfig).
+
+        Multi-process pods need no shared filesystem: only process 0 reads
+        its checkpoint directory; the restored state (and the found/step
+        scalars) are broadcast to every process over the mesh. Hosts whose
+        local log_dir is stale or absent still resume consistently.
+        """
         if not self.log_dir:
             return None
+        if jax.process_count() > 1:
+            return self._resume_broadcast()
         state, step = ckpt.restore_checkpoint(self.log_dir, self.state)
         if step is not None:
             self.state = state
@@ -122,6 +173,28 @@ class Trainer:
             if self.is_main:
                 print(f"resumed from epoch {self.epoch}", flush=True)
         return step
+
+    def _resume_broadcast(self) -> Optional[int]:
+        from jax.experimental import multihost_utils
+
+        if self.is_main:
+            state, step = ckpt.restore_checkpoint(self.log_dir, self.state)
+            found = step is not None
+            if not found:
+                state = self.state
+        else:
+            state, step, found = self.state, 0, False
+        flag_step = multihost_utils.broadcast_one_to_all(
+            jnp.asarray([1 if found else 0, int(step or 0)], jnp.int32)
+        )
+        if int(flag_step[0]) == 0:
+            return None
+        # non-zero processes contribute zeros; process 0's restored leaves win
+        self.state = multihost_utils.broadcast_one_to_all(state)
+        self.epoch = int(flag_step[1])
+        if self.is_main:
+            print(f"resumed from epoch {self.epoch} (broadcast)", flush=True)
+        return self.epoch
 
     def _put_batch(self, batch: Dict) -> Dict:
         if self.mesh is not None:

@@ -31,6 +31,16 @@ class MovingAverage:
         return {k: sum(d) / len(d) for k, d in self.buffers.items() if d}
 
 
+# per-weight / per-gradient summary scalars (train.loop.param_summary_scalars)
+# go to stat.json but are kept off the terminal — the reference likewise sends
+# its histogram/RMS summaries to tensorboard only (model.py:218-221,236).
+_SUMMARY_PREFIXES = ("w_rms/", "g_norm/")
+
+
+def _is_summary(key: str) -> bool:
+    return key.startswith(_SUMMARY_PREFIXES)
+
+
 class MetricLogger:
     """Terminal + stat.json scalar logging."""
 
@@ -54,7 +64,9 @@ class MetricLogger:
             return
         if step % self.print_every == 0:
             avg = self.moving.averages()
-            parts = " ".join(f"{k}={v:.4f}" for k, v in sorted(avg.items()))
+            parts = " ".join(
+                f"{k}={v:.4f}" for k, v in sorted(avg.items()) if not _is_summary(k)
+            )
             print(f"[step {step}] {parts}", flush=True)
 
     def log_epoch(self, epoch: int, scalars: Dict[str, float]) -> None:
@@ -64,7 +76,8 @@ class MetricLogger:
         self.history.append(record)
         if not self.quiet:
             parts = " ".join(
-                f"{k}={v:.4f}" for k, v in sorted(record.items()) if k != "wall_time"
+                f"{k}={v:.4f}" for k, v in sorted(record.items())
+                if k != "wall_time" and not _is_summary(k)
             )
             print(f"[epoch {epoch}] {parts}", flush=True)
         if self.log_dir:
