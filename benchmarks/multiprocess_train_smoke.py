@@ -1,4 +1,4 @@
-"""Two-process smoke of the PRODUCTION trainer (`run_train.py --distributed`).
+"""Multi-process smoke of the PRODUCTION trainer (`run_train.py --distributed`).
 
 benchmarks/multiprocess_smoke.py proves the primitive pattern (distributed
 init, host_local_slice, make_array_from_process_local_data, one sharded
@@ -7,28 +7,38 @@ exact command a TPU pod host would run, minus the explicit coordinator
 flags that the TPU plugin auto-detects:
 
     python run_train.py --distributed --coordinator=H:P \
-        --num_processes=2 --process_id=I --synthetic=8 --preset=tiny ...
+        --num_processes=N --process_id=I --synthetic=8 --preset=tiny ...
 
 and asserts the full production loop is pod-correct end-to-end:
 
-- both processes see the 8-device global mesh (4 local CPU devices each);
+- all processes see the global mesh (nproc x dev_per_proc devices);
 - each feeds only batch_size/process_count local rows per step
   (parallel.mesh.shard_batch assembles the global batch);
 - per-step/epoch printing, stat.json, checkpoints, and mAP eval happen on
   process 0 ONLY;
-- the final replicated params fingerprint is bit-identical on both
-  processes (the gradient all-reduce really ran across processes);
+- the final replicated params fingerprint is bit-identical on every
+  process (the gradient all-reduce really ran across processes);
 - a single-process run with the same seed/global-batch reaches the SAME
-  fingerprint: pod semantics == single-host semantics (the global batch is
-  identical, only who feeds the rows changes).
+  fingerprint: pod semantics == single-host semantics.
 
-Run:  python benchmarks/multiprocess_train_smoke.py
+Variants (VERDICT r3 #5):
+
+    --nproc=4 --dev_per_proc=2 --spmesh   4-process dp x sp rehearsal: the
+        mesh is (data=4, points=2) — batch over processes, the point cloud
+        sharded over each process's local devices (the SP backbone).
+    --resume_phase   after the first run, relaunch with max_epoch+1 and a
+        DIFFERENT (empty) log_dir on every non-zero process: resume must
+        restore on process 0 and broadcast — no shared filesystem.
+
+Run:  python benchmarks/multiprocess_train_smoke.py [--nproc=4 ...]
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import re
+import shutil
 import socket
 import subprocess
 import sys
@@ -36,10 +46,8 @@ import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-NPROC = 2
-DEV_PER_PROC = 4
-ARGS = [
-    "--synthetic=8", "--preset=tiny", "--batch_size=8", "--max_epoch=2",
+BASE_ARGS = [
+    "--synthetic=8", "--preset=tiny", "--batch_size=8",
     "--seed=0", "--eval_every_k_epochs=2",
 ]
 
@@ -64,52 +72,98 @@ def _env(n_local_dev: int) -> dict:
     return env
 
 
-def main() -> int:
+def _launch_pod(nproc, dev_per_proc, log_dirs, extra_args, max_epoch):
     port = _free_port()
-    tmp = tempfile.mkdtemp(prefix="mp_train_smoke_")
-    log_dir = os.path.join(tmp, "pod")
-
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, "run_train.py"),
              "--distributed", f"--coordinator=localhost:{port}",
-             f"--num_processes={NPROC}", f"--process_id={i}",
-             f"--log_dir={log_dir}"] + ARGS,
-            env=_env(DEV_PER_PROC), cwd=REPO,
+             f"--num_processes={nproc}", f"--process_id={i}",
+             f"--log_dir={log_dirs[i]}", f"--max_epoch={max_epoch}"]
+            + BASE_ARGS + extra_args,
+            env=_env(dev_per_proc), cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
-        for i in range(NPROC)
+        for i in range(nproc)
     ]
     outs = []
+    rc = 0
     for i, p in enumerate(procs):
-        out, _ = p.communicate(timeout=600)
+        out, _ = p.communicate(timeout=900)
         outs.append(out)
         print(f"--- pod proc {i} (rc={p.returncode}) ---\n{out}", flush=True)
-        if p.returncode != 0:
-            return 1
+        rc |= p.returncode
+    return rc, outs
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nproc", type=int, default=2)
+    ap.add_argument("--dev_per_proc", type=int, default=4)
+    ap.add_argument("--spmesh", action="store_true",
+                    help="dp x sp mesh: (data=nproc, points=dev_per_proc)")
+    ap.add_argument("--resume_phase", action="store_true",
+                    help="exercise broadcast-resume without a shared log_dir")
+    args = ap.parse_args()
+    nproc, dpp = args.nproc, args.dev_per_proc
+    n_dev = nproc * dpp
+
+    extra = []
+    if args.spmesh:
+        # data outer (= processes), points inner (= each host's devices)
+        extra += ["--mesh_axis_names=data,points",
+                  f"--mesh_shape={nproc},{dpp}"]
+
+    tmp = tempfile.mkdtemp(prefix="mp_train_smoke_")
+    shared = os.path.join(tmp, "pod")
+    rc, outs = _launch_pod(nproc, dpp, [shared] * nproc, extra, max_epoch=2)
+    if rc != 0:
+        return 1
 
     fps = [re.search(r"final params_l2=([\d.]+)", o).group(1) for o in outs]
-    assert fps[0] == fps[1], f"params diverged across processes: {fps}"
+    assert len(set(fps)) == 1, f"params diverged across processes: {fps}"
     for o in outs:
-        assert "devices=8" in o, "global mesh not assembled"
-        assert f"local_rows={8 // NPROC}" in o, "per-process rows wrong"
+        assert f"devices={n_dev}" in o, "global mesh not assembled"
+        assert f"local_rows={8 // nproc}" in o, "per-process rows wrong"
     # process-0-only side effects
     assert "[epoch 1]" in outs[0] and "mAP0.25" in outs[0]
-    assert "[epoch" not in outs[1] and "mAP0.25" not in outs[1]
-    assert os.path.exists(os.path.join(log_dir, "stat.json"))
-    ckpts = [f for f in os.listdir(log_dir) if f.startswith("checkpoint_")]
-    assert ckpts, f"no checkpoint written in {log_dir}"
+    for o in outs[1:]:
+        assert "[epoch" not in o and "mAP0.25" not in o
+    assert os.path.exists(os.path.join(shared, "stat.json"))
+    ckpts = [f for f in os.listdir(shared) if f.startswith("checkpoint_")]
+    assert ckpts, f"no checkpoint written in {shared}"
+
+    if args.resume_phase:
+        # relaunch for one more epoch with PER-PROCESS log dirs: only
+        # process 0 keeps the real checkpoint dir; the others get empty
+        # ones and must resume via the process-0 broadcast
+        log_dirs = [shared] + [
+            os.path.join(tmp, f"empty_{i}") for i in range(1, nproc)
+        ]
+        rc, outs2 = _launch_pod(nproc, dpp, log_dirs, extra, max_epoch=3)
+        if rc != 0:
+            return 1
+        for i, o in enumerate(outs2):
+            assert "resumed from epoch 2 (broadcast)" in o, (
+                f"proc {i} did not broadcast-resume"
+            )
+        fps2 = [re.search(r"final params_l2=([\d.]+)", o).group(1) for o in outs2]
+        assert len(set(fps2)) == 1, f"post-resume divergence: {fps2}"
+        assert fps2[0] != fps[0], "epoch 3 did not train past the checkpoint"
+        print(f"RESUME PHASE PASSED: broadcast-resumed on {nproc} procs, "
+              f"params_l2={fps2[0]}", flush=True)
 
     # single-process control: same seed + same GLOBAL batch must land on
     # the same params up to float reduction order (the pod assembles the
-    # batch as [proc0-slice-perm, proc1-slice-perm] while solo permutes all
-    # rows at once — same scene SET per batch, different row order, so the
-    # batch-mean reductions sum in a different order)
+    # batch as per-proc slice perms while solo permutes all rows at once —
+    # same scene SET per batch, so batch-mean reductions differ only in
+    # summation order). The control uses a PLAIN dp mesh: the SP backbone
+    # is bit-exact, so dp x sp must land on the same params too.
     solo = subprocess.run(
         [sys.executable, os.path.join(REPO, "run_train.py"),
-         f"--log_dir={os.path.join(tmp, 'solo')}"] + ARGS,
-        env=_env(NPROC * DEV_PER_PROC), cwd=REPO,
-        capture_output=True, text=True, timeout=600,
+         f"--log_dir={os.path.join(tmp, 'solo')}", "--max_epoch=2"] + BASE_ARGS,
+        env=_env(n_dev), cwd=REPO,
+        capture_output=True, text=True, timeout=900,
     )
     print(f"--- solo (rc={solo.returncode}) ---\n{solo.stdout[-2000:]}", flush=True)
     if solo.returncode != 0:
@@ -119,8 +173,10 @@ def main() -> int:
     assert rel < 1e-4, (
         f"pod run != single-process run: {fps[0]} vs {fp_solo} (rel {rel:.2e})"
     )
-    print(f"MULTIPROCESS TRAIN SMOKE PASSED: params_l2={fps[0]} identical "
-          f"on both pod processes; single-process control within {rel:.2e}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(f"MULTIPROCESS TRAIN SMOKE PASSED: nproc={nproc} spmesh={args.spmesh} "
+          f"params_l2={fps[0]} identical on all pod processes; "
+          f"single-process control within {rel:.2e}")
     return 0
 
 

@@ -142,8 +142,17 @@ def main():
         )(jnp.asarray(xyz1), jnp.asarray(xyz2))
         np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
         np.testing.assert_array_equal(np.asarray(gc), np.asarray(wc))
-        print(f"ball query exact-mode compiled ok  B={Bq} N={Nq} M={Mq} r={rq}",
-              flush=True)
+        # the dispatcher routes to the Pallas VMEM kernel here; also pin the
+        # XLA exact twin against it explicitly (three-way bit agreement)
+        from votenet_tpu.ops.grouping import _query_ball_point_dense
+        from votenet_tpu.ops.pallas.ballquery import query_ball_point_pallas
+
+        pi, pc = query_ball_point_pallas(rq, nsq, jnp.asarray(xyz1), jnp.asarray(xyz2))
+        ti, tc = _query_ball_point_dense(rq, nsq, "exact", jnp.asarray(xyz1), jnp.asarray(xyz2))
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(ti))
+        np.testing.assert_array_equal(np.asarray(pc), np.asarray(tc))
+        print(f"ball query exact-mode compiled ok (pallas+twin bit-equal)  "
+              f"B={Bq} N={Nq} M={Mq} r={rq}", flush=True)
     print("ALL COMPILED KERNEL CHECKS PASSED")
 
 

@@ -100,7 +100,12 @@ def main():
         if n_dev > 1
         else None
     )
-    n_mesh = mesh.size if mesh is not None else 1
+    # dp x sp: --mesh_axis_names=data,points --mesh_shape=D,S shards the
+    # input cloud over the "points" axis as well (SP backbone); the batch
+    # divides only the data axis. On a pod, keep "data" as the OUTER axis
+    # so each process's rows land on its own devices (see shard_batch).
+    sp = mesh is not None and "points" in mesh.axis_names
+    n_mesh = (mesh.shape["data"] if sp else mesh.size) if mesh is not None else 1
     if mesh is not None and cfg.batch_size % n_mesh != 0:
         import warnings
 
@@ -220,7 +225,15 @@ def main():
     n_epoch_scenes = len(train_scenes) if args.synthetic else len(local_train_idx)
     steps_per_epoch = max(n_epoch_scenes // local_batch, 1)
     state = create_train_state(jax.random.PRNGKey(args.seed), cfg, steps_per_epoch)
-    model = VoteNet(cfg)
+    model = (
+        VoteNet(cfg, sp_mesh=mesh, sp_batch_axis="data",
+                sp_min_points=min(4096, cfg.point_num))
+        if sp
+        else VoteNet(cfg)
+    )
+    # eval runs on process 0 as a LOCAL jit — it must not carry the SP
+    # model's mesh collectives; params are structure-identical either way
+    eval_model = VoteNet(cfg) if sp else model
     evaluator = Evaluator(cfg, gt_all, batch_size=max(cfg.batch_size, 4))
 
     # Val points are uploaded to the device ONCE (first eval trigger) and
@@ -242,7 +255,8 @@ def main():
                 DeviceSceneCache(val_iter(), batch_size=evaluator.batch_size)
             )
         predict = make_predict_fn(
-            model, {"params": state.params, "batch_stats": state.batch_stats}, cfg
+            eval_model,
+            {"params": state.params, "batch_stats": state.batch_stats}, cfg,
         )
         result = evaluator.evaluate(predict, _val_dev_cache[0])
         print(f"[epoch {epoch}] mAP0.25={result['mAP']:.4f}")

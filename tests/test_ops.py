@@ -288,3 +288,50 @@ class TestNMS3D:
         assert pairs.ndim == 2 and pairs.shape[1] == 2
         sel = scores[pairs[:, 0], pairs[:, 1]]
         assert (np.diff(sel) <= 1e-7).all()  # globally descending
+
+
+class TestNMS3DCompaction:
+    """The tiered candidate compaction must be invisible in the keep mask."""
+
+    def _run(self, rng, n_cand_per_row, B=3, N=256):
+        corners = oracles.random_boxes(rng, (B, N))
+        scores = rng.rand(B, N).astype(np.float32)
+        objectness = np.zeros((B, N, 2), dtype=np.float32)
+        objectness[..., 0] = 1.0  # default: not a candidate
+        for b in range(B):
+            sel = rng.choice(N, n_cand_per_row, replace=False)
+            objectness[b, sel, 0] = 0.0
+            objectness[b, sel, 1] = 1.0  # candidate
+        got = np.asarray(ops.nms3d(corners, scores, objectness, 0.25))
+        want = oracles.nms3d_oracle(corners, scores, objectness, 0.25)
+        np.testing.assert_array_equal(got, want)
+        return got
+
+    def test_tier64(self, rng):
+        self._run(rng, 40)
+
+    def test_tier64_boundary(self, rng):
+        self._run(rng, 64)
+
+    def test_tier160(self, rng):
+        self._run(rng, 120)
+
+    def test_dense_fallback(self, rng):
+        self._run(rng, 220)
+
+    def test_equal_scores_tiebreak(self, rng):
+        # overlapping equal-score candidates: lower index must win in every
+        # tier (the deterministic refinement of the reference's heap order)
+        B, N = 1, 256
+        corners = np.broadcast_to(
+            oracles.random_boxes(rng, (B, 1)), (B, N, 8, 3)
+        ).copy()  # all identical -> everything overlaps everything
+        scores = np.full((B, N), 0.5, np.float32)
+        objectness = np.zeros((B, N, 2), dtype=np.float32)
+        objectness[..., 0] = 1.0
+        objectness[0, :30, 0] = 0.0
+        objectness[0, :30, 1] = 1.0
+        got = np.asarray(ops.nms3d(corners, scores, objectness, 0.25))
+        want = np.zeros((B, N), bool)
+        want[0, 0] = True  # lowest-index candidate survives, suppresses rest
+        np.testing.assert_array_equal(got, want)

@@ -40,12 +40,13 @@ class TestPallasFPS:
 
 
 class TestIoUImplementations:
-    def test_three_formulations_agree(self, rng):
-        """rank-based vs angular-sort vs Sutherland–Hodgman must agree."""
+    def test_four_formulations_agree(self, rng):
+        """rank vs angular-sort vs Sutherland–Hodgman vs edge-clip agree."""
         import jax.numpy as jnp
 
         from votenet_tpu.ops.iou3d import (
             convex_quad_intersection_area,
+            convex_quad_intersection_area_edgeclip,
             convex_quad_intersection_area_sh,
             convex_quad_intersection_area_sort,
         )
@@ -57,8 +58,29 @@ class TestIoUImplementations:
         a = np.asarray(convex_quad_intersection_area(q1, q2))
         b = np.asarray(convex_quad_intersection_area_sort(q1, q2))
         c = np.asarray(convex_quad_intersection_area_sh(q1, q2))
+        d = np.asarray(convex_quad_intersection_area_edgeclip(q1, q2))
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(a, d, rtol=1e-4, atol=1e-5)
+
+    def test_edgeclip_containment_and_degenerate(self):
+        import jax.numpy as jnp
+
+        from votenet_tpu.ops.iou3d import convex_quad_intersection_area_edgeclip
+
+        big = jnp.asarray([[-2, -2], [2, -2], [2, 2], [-2, 2]], jnp.float32)
+        small = jnp.asarray([[-1, -1], [1, -1], [1, 1], [-1, 1]], jnp.float32)
+        assert float(
+            convex_quad_intersection_area_edgeclip(small, big)
+        ) == pytest.approx(4.0, rel=1e-5)
+        assert float(
+            convex_quad_intersection_area_edgeclip(big, small)
+        ) == pytest.approx(4.0, rel=1e-5)
+        # zero-area (collinear) quad has no interior: clamp keeps inter at 0
+        line = jnp.asarray([[0, 0], [1, 0], [2, 0], [3, 0]], jnp.float32)
+        assert float(convex_quad_intersection_area_edgeclip(line, big)) == 0.0
+        # disjoint
+        assert float(convex_quad_intersection_area_edgeclip(big, big + 10.0)) == 0.0
 
     def test_contained_quad(self):
         import jax.numpy as jnp
@@ -80,3 +102,62 @@ class TestIoUImplementations:
         a = jnp.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], jnp.float32)
         b = a + 5.0
         assert float(convex_quad_intersection_area(a, b)) == 0.0
+
+
+class TestPallasBallQuery:
+    """ops/pallas/ballquery.py vs the XLA oracle (interpret mode on CPU;
+    the compiled-on-TPU bit-equality at live shapes runs in
+    benchmarks/tpu_kernel_checks.py)."""
+
+    def _clouds(self, rng, B, N, M):
+        # clustered clouds: the adversarial case for selection semantics
+        centers = rng.randn(B, 8, 3).astype(np.float32)
+        pts = centers[:, rng.randint(0, 8, N)] + rng.randn(B, N, 3).astype(
+            np.float32
+        ) * 0.15
+        q = pts[:, rng.choice(N, M, replace=False)]
+        return pts, q
+
+    @pytest.mark.parametrize(
+        "B,N,M,S,r",
+        [
+            (2, 512, 128, 8, 0.3),
+            (1, 300, 70, 16, 0.5),   # unaligned N/M (padding paths)
+            (2, 1024, 256, 64, 0.2),
+        ],
+    )
+    def test_matches_oracle(self, rng, B, N, M, S, r):
+        import jax.numpy as jnp
+
+        from votenet_tpu.ops.grouping import query_ball_point_topk
+        from votenet_tpu.ops.pallas.ballquery import query_ball_point_pallas
+
+        pts, q = self._clouds(rng, B, N, M)
+        ia, ca = query_ball_point_pallas(
+            r, S, jnp.asarray(pts), jnp.asarray(q), True
+        )
+        ib, cb = query_ball_point_topk(r, S, jnp.asarray(pts), jnp.asarray(q))
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+        np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+
+    def test_empty_and_saturated_balls(self, rng):
+        import jax.numpy as jnp
+
+        from votenet_tpu.ops.grouping import query_ball_point_topk
+        from votenet_tpu.ops.pallas.ballquery import query_ball_point_pallas
+
+        # one dense blob + far-away queries: rows saturate AND rows are empty
+        pts = rng.randn(1, 256, 3).astype(np.float32) * 0.05
+        q = np.concatenate(
+            [np.zeros((1, 4, 3), np.float32), np.full((1, 4, 3), 50.0, np.float32)],
+            axis=1,
+        )
+        ia, ca = query_ball_point_pallas(
+            0.5, 8, jnp.asarray(pts), jnp.asarray(q), True
+        )
+        ib, cb = query_ball_point_topk(0.5, 8, jnp.asarray(pts), jnp.asarray(q))
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+        np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+        assert np.asarray(ca)[0, :4].max() == 8  # saturated
+        assert np.asarray(ca)[0, 4:].max() == 0  # empty -> index 0 rows
+        assert np.asarray(ia)[0, 4:].max() == 0

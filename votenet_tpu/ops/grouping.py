@@ -97,21 +97,46 @@ def query_ball_point(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2: jnp.n
     """
     B, N = xyz1.shape[0], xyz1.shape[1]
     M = xyz2.shape[1]
+    if _pallas_bq_route(N, M, nsample):
+        # the Pallas kernel has NO (B, M, N) HBM intermediates (the hit
+        # mask lives in VMEM), so the dense-bytes budget doesn't apply
+        from votenet_tpu.ops.pallas.ballquery import query_ball_point_pallas
+
+        return query_ball_point_pallas(radius, nsample, xyz1, xyz2)
     if common.bq_dense_bytes(B, M, N) > DENSE_BYTES_BUDGET:
         return query_ball_point_streaming(radius, nsample, xyz1, xyz2)
     return query_ball_point_dense(radius, nsample, xyz1, xyz2)
 
 
+def _pallas_bq_route(N: int, M: int, nsample: int) -> bool:
+    """True iff the ball query should run as the Pallas VMEM kernel: Pallas
+    enabled on TPU, exact mode (the kernel computes the exact difference-form
+    hit test; "fast_bf16" keeps the XLA mm-expansion twin), and the kernel's
+    VMEM state fits these shapes."""
+    from votenet_tpu.ops.dispatch import bq_precision, use_pallas
+
+    if not use_pallas() or bq_precision() != "exact":
+        return False
+    from votenet_tpu.ops.pallas.ballquery import pallas_bq_supported
+
+    return pallas_bq_supported(N, M, nsample)
+
+
 def query_ball_point_dense(radius: float, nsample: int, xyz1: jnp.ndarray, xyz2: jnp.ndarray):
     """Fixed-radius neighborhood query (hierarchical, TPU-fast).
 
-    Thin wrapper that reads ``ops.dispatch.bq_precision()`` per call (so
-    flipping the mode is never masked by a stale jit cache) and forwards it
-    as a static argument. See :func:`_query_ball_point_dense` for the
-    algorithm and the module docstring for the precision modes.
+    Thin wrapper that reads ``ops.dispatch`` state per call (so flipping the
+    mode is never masked by a stale jit cache): on TPU in "exact" mode this
+    routes to the Pallas VMEM kernel (bit-identical, no (B, M, N) HBM
+    intermediates — ops/pallas/ballquery.py); otherwise the XLA twin
+    :func:`_query_ball_point_dense` with the mode as a static argument.
     """
     from votenet_tpu.ops.dispatch import bq_precision
 
+    if _pallas_bq_route(xyz1.shape[1], xyz2.shape[1], nsample):
+        from votenet_tpu.ops.pallas.ballquery import query_ball_point_pallas
+
+        return query_ball_point_pallas(radius, nsample, xyz1, xyz2)
     return _query_ball_point_dense(radius, nsample, bq_precision(), xyz1, xyz2)
 
 

@@ -83,7 +83,24 @@ def host_local_slice(ids: Sequence, process_index: Optional[int] = None,
     return ids[pi * per : (pi + 1) * per]
 
 
-def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
+def batch_shardings(
+    batch: dict, mesh: Mesh, axis: str = "data", point_axis: Optional[str] = None
+) -> dict:
+    """Per-key shardings for a batch dict: every array batch-sharded over
+    ``axis``; with ``point_axis`` set (dp x sp meshes), the "points" cloud
+    is additionally sharded over its point dimension."""
+    return {
+        k: NamedSharding(
+            mesh,
+            P(axis, point_axis) if (k == "points" and point_axis) else P(axis),
+        )
+        for k in batch
+    }
+
+
+def shard_batch(
+    batch: dict, mesh: Mesh, axis: str = "data", point_axis: Optional[str] = None
+) -> dict:
     """Place a host batch on the mesh with the leading axis sharded.
 
     Single process: a plain sharded ``device_put`` (the global batch is
@@ -93,13 +110,18 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     pipeline — and the rows are assembled into one global array via
     ``jax.make_array_from_process_local_data`` (the per-host DCN input
     path, SURVEY §2.3; exercised by benchmarks/multiprocess_train_smoke.py).
+
+    ``point_axis`` (dp x sp meshes) shards the "points" cloud over its
+    point dimension too. On a pod the "data" axis must be the OUTER mesh
+    axis so each process's local rows' point-shards land on its own
+    addressable devices (run_train's --mesh_shape=<procs>,<local> layout).
     """
-    sharding = batch_sharding(mesh, axis)
+    shardings = batch_shardings(batch, mesh, axis, point_axis)
     if jax.process_count() > 1:
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(
-                sharding, np.asarray(x)
-            ),
-            batch,
-        )
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+        return {
+            k: jax.make_array_from_process_local_data(
+                shardings[k], np.asarray(v)
+            )
+            for k, v in batch.items()
+        }
+    return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}

@@ -140,14 +140,22 @@ class Trainer:
         step_fn = make_train_step(
             model, config, pad_semantics, with_summaries=with_summaries
         )
+        # dp x sp: a mesh with a "points" axis shards the input cloud over
+        # its point dimension as well (the SP backbone must be enabled on
+        # the model via VoteNet(sp_mesh=...) by the caller — run_train does)
+        self._point_axis = (
+            "points" if mesh is not None and "points" in mesh.axis_names else None
+        )
         if mesh is not None:
-            from votenet_tpu.parallel.mesh import batch_sharding, replicated_sharding
+            from votenet_tpu.parallel.mesh import replicated_sharding
 
             repl = replicated_sharding(mesh)
-            data = batch_sharding(mesh)
+            # batch shardings are per-key (the "points" key differs under
+            # dp x sp); the placed arrays carry them, so jit infers the
+            # batch argument's shardings from its committed inputs
             self._train_step = jax.jit(
                 step_fn,
-                in_shardings=(repl, data),
+                in_shardings=(repl, None),
                 out_shardings=(repl, repl),
                 donate_argnums=0,
             )
@@ -192,15 +200,19 @@ class Trainer:
         # non-zero processes contribute zeros; process 0's restored leaves win
         self.state = multihost_utils.broadcast_one_to_all(state)
         self.epoch = int(flag_step[1])
-        if self.is_main:
-            print(f"resumed from epoch {self.epoch} (broadcast)", flush=True)
+        # every process prints (one line per pod member — the proof each
+        # host really took the broadcast, not a stale local checkpoint)
+        print(
+            f"[proc {jax.process_index()}] resumed from epoch {self.epoch} "
+            f"(broadcast)", flush=True,
+        )
         return self.epoch
 
     def _put_batch(self, batch: Dict) -> Dict:
         if self.mesh is not None:
             from votenet_tpu.parallel.mesh import shard_batch
 
-            return shard_batch(batch, self.mesh)
+            return shard_batch(batch, self.mesh, point_axis=self._point_axis)
         return batch
 
     def train_epoch(self, batches: Iterable[Dict], metrics_every: int = 10) -> Dict[str, float]:
