@@ -69,6 +69,13 @@ def _env(n_local_dev: int) -> dict:
         "PYTHONPATH": REPO,
         "XLA_FLAGS": f"--xla_force_host_platform_device_count={n_local_dev}",
     })
+    # one host CPU core: compiles serialize across the pod's processes and
+    # across the resume/control phases — a shared persistent cache makes the
+    # N-process rehearsal tractable (identical step graphs compile once)
+    env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), "jax_cache_mp_smoke"),
+    )
     return env
 
 

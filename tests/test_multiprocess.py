@@ -35,3 +35,27 @@ def test_two_process_train_step():
             break
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
     assert "MULTIPROCESS SMOKE PASSED" in r.stdout
+
+
+def test_four_process_dpxsp_broadcast_resume():
+    """4-process production-trainer rehearsal on a (data=4, points=2) mesh:
+    dp x sp pod semantics, process-0-only side effects, and checkpoint
+    resume WITHOUT a shared filesystem (restore on process 0, broadcast
+    over the mesh) — VERDICT r3 #5. Wraps
+    benchmarks/multiprocess_train_smoke.py --nproc=4 --spmesh
+    --resume_phase; a persistent JAX compile cache (set inside the smoke)
+    keeps reruns tractable on a 1-core host."""
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("PALLAS_AXON_POOL_IPS", "PYTHONPATH", "JAX_PLATFORMS",
+                     "XLA_FLAGS", "SMOKE_PORT")
+    }
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "benchmarks", "multiprocess_train_smoke.py"),
+         "--nproc=4", "--dev_per_proc=2", "--spmesh", "--resume_phase"],
+        env=env, capture_output=True, text=True, timeout=3000, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
+    assert "RESUME PHASE PASSED" in r.stdout
+    assert "MULTIPROCESS TRAIN SMOKE PASSED: nproc=4 spmesh=True" in r.stdout

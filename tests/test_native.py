@@ -7,11 +7,28 @@ from votenet_tpu import native
 from tests import oracles
 
 
-pytestmark = pytest.mark.skipif(
+def test_native_not_silently_degraded():
+    """With a toolchain present, the native library MUST load — a silent
+    fallback to the numpy twins would mask a broken build (`_load` builds
+    on demand via make; see native/__init__.py). Skip only when there is
+    genuinely no compiler."""
+    import shutil
+
+    if shutil.which("g++") is None and shutil.which("cc") is None:
+        pytest.skip("no C++ toolchain on this machine")
+    assert native.available(), (
+        "g++ is present but votenet_tpu.native failed to build/load "
+        "libvotenet_native.so — the numpy fallback is masking a broken "
+        "native build (run `make -C votenet_tpu/native` to see the error)"
+    )
+
+
+_needs_native = pytest.mark.skipif(
     not native.available(), reason="native library unavailable (no g++)"
 )
 
 
+@_needs_native
 class TestParseFloats:
     def test_basic(self):
         got = native.parse_floats("1.5 -2  3e4\n7.25\t8")
@@ -27,6 +44,7 @@ class TestParseFloats:
         assert native.parse_floats("").size == 0
 
 
+@_needs_native
 class TestNativeIoU:
     def test_matches_python(self, rng):
         from votenet_tpu.eval.iou import iou_3d
@@ -45,6 +63,7 @@ class TestNativeIoU:
         assert out.shape == (0, 3)
 
 
+@_needs_native
 class TestGreedyMatch:
     def test_basic(self):
         iou = np.array([[0.9, 0.1], [0.8, 0.05], [0.0, 0.6]], np.float32)
@@ -58,6 +77,7 @@ class TestGreedyMatch:
         assert tp.sum() == 0 and fp.sum() == 3
 
 
+@_needs_native
 class TestNativeNMS:
     def test_matches_oracle(self, rng):
         corners = oracles.random_boxes(rng, (2, 24))

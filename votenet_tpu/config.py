@@ -90,6 +90,9 @@ class Config:
                                  # sets) or "fast_bf16" (single-pass MXU,
                                  # cm-scale boundary band on TPU — see the
                                  # deviation note in ops/grouping.py)
+    samlp: str = "on"            # fused SA-layer MLP+max-pool eval kernel
+                                 # (ops/pallas/samlp.py): "on" keeps grouped
+                                 # tensors in VMEM; "off" = XLA chain oracle
     remat: bool = False          # rematerialize SA/FP blocks in backward:
                                  # measured 32% SLOWER at B=8 (79.7 vs 116.3
                                  # scenes/s, v5e round 3) — purely a memory

@@ -279,6 +279,76 @@ class PointNetSAModule(nn.Module):
             name=name,
         )
 
+    def _fused_eval_mlp_pool(self, both, new_xyz, idx):
+        """Eval fast path: dense0 over the N unique points (project-before-
+        gather), ONE gather, then the whole affine/BN/ReLU/dense/max-pool
+        chain as a single Pallas kernel with the grouped tensor resident in
+        VMEM (ops/pallas/samlp.py — the SURVEY §7 step 3(a) fusion). Returns
+        the POOLED (B, M, w_last) features, or None when the kernel does not
+        apply (training BN needs whole-batch statistics; init must create
+        params; non-max pooling; bf16 module dtype uses the split path).
+
+        Numerics: dense0/gather/corr are the exact same ops as the XLA
+        chain; the in-kernel dense1+ matmuls run at the same f32 operand
+        precision — outputs match the XLA chain to float-fusion rounding
+        (~1e-6 relative, tested), not bitwise.
+        """
+        from votenet_tpu.ops.dispatch import (
+            samlp_enabled,
+            samlp_interpret,
+            samlp_precision,
+            use_pallas,
+        )
+
+        interpret = samlp_interpret()
+        if (
+            self.is_initializing()
+            or not samlp_enabled()
+            or not (use_pallas() or interpret)
+            or self.pooling != "max"
+            or not self.use_bn
+            or self.dtype != jnp.float32
+            or len(self.mlp) < 2
+        ):
+            return None
+        from votenet_tpu.ops.pallas.samlp import fused_sa_mlp_pool, samlp_supported
+
+        M, S = idx.shape[1], idx.shape[2]
+        widths = list(self.mlp)
+        if not samlp_supported(M, S, widths):
+            return None
+        params = self.get_variable("params", "mlp", None)
+        stats = self.get_variable("batch_stats", "mlp", None)
+        if params is None or stats is None:
+            return None
+
+        def bn_fold(i):
+            # flax eval BatchNorm: (x - mean) * rsqrt(var + eps) * gamma
+            # + beta — fold to per-channel scale/shift with its exact ops
+            g = params[f"bn{i}"]["scale"].astype(jnp.float32)
+            beta = params[f"bn{i}"]["bias"].astype(jnp.float32)
+            mean = stats[f"bn{i}"]["mean"].astype(jnp.float32)
+            var = stats[f"bn{i}"]["var"].astype(jnp.float32)
+            s = lax.rsqrt(var + self.bn_eps) * g
+            return s, beta - mean * s
+
+        W0 = params["dense0"]["kernel"].astype(jnp.float32)
+        b0 = params["dense0"]["bias"].astype(jnp.float32)
+        h_all = both.astype(jnp.float32) @ W0  # (B, N, w0) unique points
+        h0 = ops.group_point(h_all, idx)  # the ONE grouped-tensor gather
+        corr = new_xyz.astype(jnp.float32) @ W0[:3]  # (B, M, w0)
+        s0, t0 = bn_fold(0)
+        sh0 = (b0 - corr) * s0 + t0  # (B, M, w0)
+        layers = []
+        for i in range(1, len(widths)):
+            Wi = params[f"dense{i}"]["kernel"].astype(jnp.float32)
+            bi = params[f"dense{i}"]["bias"].astype(jnp.float32)
+            si, ti = bn_fold(i)
+            layers.append((Wi, si, bi * si + ti))
+        return fused_sa_mlp_pool(
+            h0, sh0, s0, layers, precision=samlp_precision(), interpret=interpret
+        )
+
     @nn.compact
     def __call__(
         self,
@@ -296,6 +366,7 @@ class PointNetSAModule(nn.Module):
             and self.pooling != "weighted_avg"
             and len(self.mlp) > 0
         )
+        already_pooled = False  # True when the Pallas kernel pooled in VMEM
         if self.sp_mesh is not None:
             if self.group_all or self.knn:
                 raise ValueError(
@@ -404,9 +475,14 @@ class PointNetSAModule(nn.Module):
                     g_raw, train, center=new_xyz
                 )
             else:
-                new_points = self._mlp_stack(self.mlp, "mlp")(
-                    both, train, center=new_xyz, idx=idx
-                )
+                pooled = self._fused_eval_mlp_pool(both, new_xyz, idx)
+                if pooled is not None:
+                    new_points = pooled
+                    already_pooled = True
+                else:
+                    new_points = self._mlp_stack(self.mlp, "mlp")(
+                        both, train, center=new_xyz, idx=idx
+                    )
             grouped_xyz = None  # never materialized on this path
         else:
             if self.group_all:
@@ -420,7 +496,9 @@ class PointNetSAModule(nn.Module):
                 )
             new_points = self._mlp_stack(self.mlp, "mlp")(new_points, train)
 
-        if self.pooling == "max":
+        if already_pooled:
+            pass  # the fused kernel max-pooled over the ball slots in VMEM
+        elif self.pooling == "max":
             new_points = jnp.max(new_points, axis=2)
         elif self.pooling == "avg":
             new_points = jnp.mean(new_points, axis=2)

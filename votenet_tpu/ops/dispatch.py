@@ -104,8 +104,63 @@ def bq_precision() -> str:
     return _bq_precision
 
 
+# --- fused SA-layer MLP+pool kernel (eval path) ---
+#
+# "on":  PointNetSAModule's eval forward runs the grouped affine/MLP/max-pool
+#        chain as one Pallas kernel (ops/pallas/samlp.py) — the grouped
+#        (B, M, S, w) tensors stay in VMEM instead of round-tripping HBM
+#        between every dense. Numerics: same matmul precision ("f32"), same
+#        fold algebra as the XLA chain (equivalence-tested); not bitwise
+#        (different fusion boundaries reassociate the affine arithmetic).
+# "off": the XLA chain (any backend; the correctness oracle).
+_samlp: str = "on"
+_samlp_interpret: bool = False  # tests: run the kernel interpreted on CPU
+_samlp_precision: str = "f32"  # matmul operand precision: "f32" | "bf16"
+
+
+def set_samlp(mode: str) -> None:
+    """Enable/disable the fused SA-MLP+pool eval kernel ("on" | "off")."""
+    global _samlp
+    if mode not in ("on", "off"):
+        raise ValueError(f"samlp must be 'on' or 'off', got {mode!r}")
+    _samlp = mode
+
+
+def samlp_enabled() -> bool:
+    return _samlp == "on"
+
+
+def samlp_interpret() -> bool:
+    return _samlp_interpret
+
+
+def set_samlp_precision(mode: str) -> None:
+    """Matmul operand precision inside the fused SA-MLP kernel."""
+    global _samlp_precision
+    if mode not in ("f32", "bf16"):
+        raise ValueError(f"samlp_precision must be 'f32' or 'bf16', got {mode!r}")
+    _samlp_precision = mode
+
+
+def samlp_precision() -> str:
+    return _samlp_precision
+
+
+@contextlib.contextmanager
+def samlp_interpreted():
+    """Force the fused SA-MLP kernel in interpret mode (CPU tests)."""
+    global _samlp_interpret
+    prev = _samlp_interpret
+    _samlp_interpret = True
+    try:
+        yield
+    finally:
+        _samlp_interpret = prev
+
+
 def apply_config(config) -> None:
     """Apply every dispatch-relevant Config knob (entry-point helper)."""
     set_use_pallas(config.use_pallas)
     set_scatter_precision(config.scatter_precision)
     set_bq_precision(config.bq_precision)
+    set_samlp(getattr(config, "samlp", "on"))
