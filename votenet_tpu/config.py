@@ -90,9 +90,12 @@ class Config:
                                  # sets) or "fast_bf16" (single-pass MXU,
                                  # cm-scale boundary band on TPU — see the
                                  # deviation note in ops/grouping.py)
-    samlp: str = "on"            # fused SA-layer MLP+max-pool eval kernel
+    samlp: str = "off"           # fused SA-layer MLP+max-pool eval kernel
                                  # (ops/pallas/samlp.py): "on" keeps grouped
-                                 # tensors in VMEM; "off" = XLA chain oracle
+                                 # tensors in VMEM but measured 0.91-0.96x
+                                 # vs the XLA chain at EVERY live SA shape
+                                 # (benchmarks/samlp_layer_ab.py, v5e) —
+                                 # default off; kept as a tested opt-in
     remat: bool = False          # rematerialize SA/FP blocks in backward:
                                  # measured 32% SLOWER at B=8 (79.7 vs 116.3
                                  # scenes/s, v5e round 3) — purely a memory

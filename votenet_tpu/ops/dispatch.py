@@ -112,8 +112,13 @@ def bq_precision() -> str:
 #        between every dense. Numerics: same matmul precision ("f32"), same
 #        fold algebra as the XLA chain (equivalence-tested); not bitwise
 #        (different fusion boundaries reassociate the affine arithmetic).
-# "off": the XLA chain (any backend; the correctness oracle).
-_samlp: str = "on"
+# "off": the XLA chain (any backend; the correctness oracle). DEFAULT:
+#        measured 0.91-0.96x (slower) than the XLA chain at every live SA
+#        shape on v5e — XLA overlaps the grouped chain's HBM traffic with
+#        MXU work well enough that the VMEM-residency win doesn't pay for
+#        the kernel's serialized tile grid (benchmarks/samlp_layer_ab.py,
+#        benchmarks/fused_decomp.py; round 4).
+_samlp: str = "off"
 _samlp_interpret: bool = False  # tests: run the kernel interpreted on CPU
 _samlp_precision: str = "f32"  # matmul operand precision: "f32" | "bf16"
 
@@ -163,4 +168,4 @@ def apply_config(config) -> None:
     set_use_pallas(config.use_pallas)
     set_scatter_precision(config.scatter_precision)
     set_bq_precision(config.bq_precision)
-    set_samlp(getattr(config, "samlp", "on"))
+    set_samlp(getattr(config, "samlp", "off"))

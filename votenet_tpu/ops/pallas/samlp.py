@@ -32,6 +32,14 @@ XLA chain's float32 dots; "bf16" casts the activations/weights to bf16
 with f32 accumulation — the mixed-precision serving mode). Training keeps
 the XLA path (train-mode BN needs whole-batch statistics, which a per-tile
 kernel cannot see).
+
+MEASURED OUTCOME (round 4, v5e): 0.91-0.96x — consistently SLOWER than the
+XLA chain at every live SA shape (benchmarks/samlp_layer_ab.py per layer,
+benchmarks/fused_decomp.py end-to-end: -1.1 ms of a 16.9 ms B=8 forward).
+XLA pipelines the grouped chain's HBM streams against MXU work well enough
+that removing the round trips does not pay for this kernel's serialized
+per-tile grid. Default is therefore OFF (config.samlp); the kernel stays
+as an equivalence-tested opt-in and the documented negative result.
 """
 
 from __future__ import annotations
