@@ -9,11 +9,13 @@ under three precision modes (params/optimizer stay f32 in all):
              recipe the round-2 bf16 post-mortem called for)
   bfloat16 — compute_dtype=bfloat16 everywhere (known convergence-negative:
              quantizes absolute coordinates; kept as the control)
+  packed   — gather_packing="bf16_hilo": f32 compute, bf16 hi/lo-packed SA
+             gather TRANSPORT only (round-4 lever; see DESIGN.md)
 
 Prints a loss-curve table plus sustained step time per mode. Results
 recorded in DESIGN.md.
 
-  python benchmarks/bf16_curve.py [steps]
+  python benchmarks/bf16_curve.py [steps] [mode,mode,...]
 """
 
 from __future__ import annotations
@@ -39,8 +41,13 @@ def run_one(dtype: str, steps: int):
     from votenet_tpu.train.loop import make_train_step
     from votenet_tpu.train.state import create_train_state
 
+    from votenet_tpu.ops import dispatch
+
     if dtype == "mixed":
         cfg = default_config().replace(batch_size=8, mixed_precision=True)
+    elif dtype == "packed":
+        cfg = default_config().replace(batch_size=8)
+        dispatch.set_gather_packing("bf16_hilo")
     else:
         cfg = default_config().replace(batch_size=8, compute_dtype=dtype)
     scenes = synthetic_scenes(0, cfg, 16)
@@ -70,34 +77,43 @@ def run_one(dtype: str, steps: int):
                 break
     np.asarray(metrics["total_cost"])
     sps = (k - t0_step) * cfg.batch_size / (time.perf_counter() - t0)
+    dispatch.set_gather_packing("none")
     return curve, sps
 
 
-def main(steps: int = 2000):
+def main(steps: int = 2000, modes=("float32", "mixed", "bfloat16")):
     rows = {}
     sps = {}
-    for dtype in ("float32", "mixed", "bfloat16"):
+    for dtype in modes:
         print(f"=== {dtype} ===", flush=True)
         rows[dtype], sps[dtype] = run_one(dtype, steps)
         for k, (l, oa, sa) in sorted(rows[dtype].items()):
             print(f"step {k}: loss {l:.4f} obj_acc {oa:.3f} sem_acc {sa:.3f}", flush=True)
         print(f"sustained: {sps[dtype]:.1f} scenes/s", flush=True)
 
-    print("\n| steps | f32 loss | mixed loss | bf16 loss | f32 acc | mixed acc | bf16 acc |")
-    print("|---|---|---|---|---|---|---|")
+    base = modes[0]
+    header = " | ".join(f"{m} loss" for m in modes) + " | " + " | ".join(
+        f"{m} acc" for m in modes
+    )
+    print(f"\n| steps | {header} |")
+    print("|" + "---|" * (1 + 2 * len(modes)))
     nan3 = (float("nan"),) * 3
-    for k in sorted(rows["float32"]):
-        f = rows["float32"][k]
-        m = rows["mixed"].get(k, nan3)
-        b = rows["bfloat16"].get(k, nan3)
-        print(f"| {k} | {f[0]:.3f} | {m[0]:.3f} | {b[0]:.3f} | "
-              f"{f[1]:.2f}/{f[2]:.2f} | {m[1]:.2f}/{m[2]:.2f} | {b[1]:.2f}/{b[2]:.2f} |")
-    print(f"\nstep-time: f32 {sps['float32']:.1f} scenes/s, "
-          f"mixed {sps['mixed']:.1f} scenes/s "
-          f"({sps['mixed'] / sps['float32']:.2f}x), "
-          f"bf16 {sps['bfloat16']:.1f} scenes/s "
-          f"({sps['bfloat16'] / sps['float32']:.2f}x)")
+    for k in sorted(rows[base]):
+        cells = [rows[m].get(k, nan3) for m in modes]
+        losses = " | ".join(f"{c[0]:.3f}" for c in cells)
+        accs = " | ".join(f"{c[1]:.2f}/{c[2]:.2f}" for c in cells)
+        print(f"| {k} | {losses} | {accs} |")
+    parts = [
+        f"{m} {sps[m]:.1f} scenes/s ({sps[m] / sps[base]:.2f}x)" for m in modes
+    ]
+    print("\nstep-time: " + ", ".join(parts))
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 2000)
+    _steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    _modes = (
+        tuple(sys.argv[2].split(","))
+        if len(sys.argv) > 2
+        else ("float32", "mixed", "bfloat16")
+    )
+    main(_steps, _modes)

@@ -90,6 +90,15 @@ class Config:
                                  # sets) or "fast_bf16" (single-pass MXU,
                                  # cm-scale boundary band on TPU — see the
                                  # deviation note in ops/grouping.py)
+    gather_packing: str = "none"  # SA-layer train gather transport: "none"
+                                 # (f32 rows, full parity) or "bf16_hilo"
+                                 # (hi+lo bf16 coordinate pairs + bf16
+                                 # features — halves the grouped-tensor HBM
+                                 # bytes at sa2+ AND makes the backward
+                                 # scatter single-pass-exact; ~0.4% feature
+                                 # rounding, coords exact to ~0.06 mm;
+                                 # backbone layers only — see
+                                 # ops/dispatch.py gather_packing)
     samlp: str = "off"           # fused SA-layer MLP+max-pool eval kernel
                                  # (ops/pallas/samlp.py): "on" keeps grouped
                                  # tensors in VMEM but measured 0.91-0.96x

@@ -466,14 +466,46 @@ class PointNetSAModule(nn.Module):
                         (xyz, feat_src), train, center=new_xyz, idx=idx
                     )
             elif train:
-                g_raw = ops.group_point(
-                    both,
-                    idx,
-                    grad_skip_prefix=0 if self.coord_grad else 3,
-                )
-                new_points = self._mlp_stack(self.mlp, "mlp")(
-                    g_raw, train, center=new_xyz
-                )
+                from votenet_tpu.ops.dispatch import gather_packing
+
+                if (
+                    gather_packing() == "bf16_hilo"
+                    and points is not None
+                    and not self.coord_grad
+                ):
+                    # Packed transport (opt-in, ops/dispatch.py): ONE bf16
+                    # gather of [xyz_hi ‖ xyz_lo ‖ feat] — (6+C)*2 bytes/row
+                    # vs (3+C)*4, halving the dominant sa2+ grouped-tensor
+                    # HBM traffic — then f32 coordinate reconstruction
+                    # (hi+lo, ~16 mantissa bits) feeding the same f32
+                    # CenteredDense math via the split path. Backbone-only
+                    # (coord_grad=False): the hi/lo channels are dead in
+                    # backward (grad_skip_prefix=6 keeps the scatter at the
+                    # MXU-aligned feature width) and the bf16 feature
+                    # cotangent makes that scatter single-pass exact.
+                    hi = gather_xyz.astype(jnp.bfloat16)
+                    lo = (gather_xyz - hi.astype(jnp.float32)).astype(
+                        jnp.bfloat16
+                    )
+                    table = jnp.concatenate(
+                        [hi, lo, points.astype(jnp.bfloat16)], axis=-1
+                    )
+                    g = ops.group_point(table, idx, grad_skip_prefix=6)
+                    g_xyz = g[..., :3].astype(jnp.float32) + g[
+                        ..., 3:6
+                    ].astype(jnp.float32)
+                    new_points = self._mlp_stack(self.mlp, "mlp")(
+                        (g_xyz, g[..., 6:]), train, center=new_xyz
+                    )
+                else:
+                    g_raw = ops.group_point(
+                        both,
+                        idx,
+                        grad_skip_prefix=0 if self.coord_grad else 3,
+                    )
+                    new_points = self._mlp_stack(self.mlp, "mlp")(
+                        g_raw, train, center=new_xyz
+                    )
             else:
                 pooled = self._fused_eval_mlp_pool(both, new_xyz, idx)
                 if pooled is not None:

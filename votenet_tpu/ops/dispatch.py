@@ -163,9 +163,48 @@ def samlp_interpreted():
         _samlp_interpret = prev
 
 
+# --- SA-layer gather transport packing (train fused path) ---
+#
+# "none":      the fused [xyz ‖ feat] group gather moves f32 rows — every
+#              transported bit of the reference path. Default.
+# "bf16_hilo": the gather TABLE is packed bf16 — coordinates as a Dekker-
+#              style hi+lo bf16 pair (hi = bf16(x), lo = bf16(x - f32(hi)):
+#              ~16 mantissa bits ≈ 0.06 mm at room scale) and features
+#              bf16-rounded — so the dominant train-step byte sink (the
+#              (B, M, S, 3+C) grouped-tensor HBM traffic at sa2+,
+#              benchmarks/ablation_profile.py) moves (6+C)*2 bytes/row
+#              instead of (3+C)*4. Compute stays f32: the packed channels
+#              are upcast in the consumer matmul's operand read
+#              (CenteredDense._split_call). Backward synergy: the gather
+#              cotangent is bf16, whose one-hot scatter products are EXACT
+#              in a single MXU pass (scatter_add), so packed mode gets the
+#              fast_bf16-scatter speed with no extra rounding beyond the
+#              forward transport cast. Applies only to backbone SA layers
+#              (coord_grad=False, points present): coordinate gradients
+#              never touch bf16. ~0.4% relative rounding on sa2+ features
+#              and their gradients — convergence A/B in DESIGN.md.
+_gather_packing: str = "none"
+
+
+def set_gather_packing(mode: str) -> None:
+    """Set the SA-layer gather transport packing ("none" | "bf16_hilo")."""
+    global _gather_packing
+    if mode not in ("none", "bf16_hilo"):
+        raise ValueError(
+            f"gather_packing must be 'none' or 'bf16_hilo', got {mode!r}"
+        )
+    _gather_packing = mode
+
+
+def gather_packing() -> str:
+    """Current gather transport packing mode (consulted at trace time)."""
+    return _gather_packing
+
+
 def apply_config(config) -> None:
     """Apply every dispatch-relevant Config knob (entry-point helper)."""
     set_use_pallas(config.use_pallas)
     set_scatter_precision(config.scatter_precision)
     set_bq_precision(config.bq_precision)
     set_samlp(getattr(config, "samlp", "off"))
+    set_gather_packing(getattr(config, "gather_packing", "none"))

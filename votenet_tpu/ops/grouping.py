@@ -298,9 +298,13 @@ def scatter_add_mxu(
     """
     from votenet_tpu.ops.dispatch import scatter_precision
 
+    # bf16 cotangents (gather_packing="bf16_hilo"): every update value is
+    # exactly representable in one bf16 MXU pass, so DEFAULT precision IS
+    # exact — HIGHEST would burn 3 passes recovering mantissa bits the
+    # payload never had.
     upd_precision = (
         lax.Precision.HIGHEST
-        if scatter_precision() == "exact"
+        if scatter_precision() == "exact" and g.dtype != jnp.bfloat16
         else lax.Precision.DEFAULT
     )
     B, M, S, C = g.shape
@@ -368,7 +372,9 @@ def scatter_add(g: jnp.ndarray, idx: jnp.ndarray, num_rows: int) -> jnp.ndarray:
     """
     from votenet_tpu.ops.dispatch import scatter_precision, use_pallas
 
-    passes = 3 if scatter_precision() == "exact" else 1
+    # one bf16 pass is exact for bf16 cotangents (see scatter_add_mxu)
+    exact_f32 = scatter_precision() == "exact" and g.dtype != jnp.bfloat16
+    passes = 3 if exact_f32 else 1
     if use_pallas():
         B = g.shape[0]
         C = g.shape[-1]
