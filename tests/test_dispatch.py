@@ -8,6 +8,7 @@ kernel on CPU and fail.
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 import votenet_tpu.ops.pallas as ops_pallas
 from votenet_tpu.ops import dispatch
@@ -55,6 +56,23 @@ class TestDispatchGate:
         assert cfg.use_pallas is False
         cfg = config_from_args(["--use_pallas=True"])
         assert cfg.use_pallas is True
+
+    def test_gather_packing_cli_wiring(self):
+        """--gather_packing=bf16_hilo must flow CLI -> Config ->
+        apply_config -> dispatch (the DESIGN.md opt-in contract)."""
+        from votenet_tpu.config import config_from_args
+
+        cfg = config_from_args(["--gather_packing=bf16_hilo"])
+        assert cfg.gather_packing == "bf16_hilo"
+        prev = dispatch.gather_packing()
+        try:
+            dispatch.apply_config(cfg)
+            assert dispatch.gather_packing() == "bf16_hilo"
+            with pytest.raises(ValueError):
+                dispatch.set_gather_packing("bf16")  # typo'd mode
+        finally:
+            dispatch.set_gather_packing(prev)
+            dispatch.apply_config(config_from_args([]))
 
     def test_predictor_applies_config(self, monkeypatch):
         import votenet_tpu.predictor as predictor_mod
