@@ -13,6 +13,7 @@ Run on the TPU: python benchmarks/packed_gather_curve.py [STEPS]
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 
@@ -26,7 +27,10 @@ from jax import lax
 TINY = os.environ.get("CURVE_TINY", "") == "1"  # CPU smoke of the harness
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else (8 if TINY else 2000)
 B = 2 if TINY else 8
-REPORT_EVERY = 4 if TINY else 200
+REPORT_EVERY = min(4 if TINY else 200, STEPS)  # never exceed STEPS (a short
+# CLI run must still produce >=1 report chunk); STEPS is rounded UP to a
+# whole number of chunks below so no requested steps are silently dropped
+N_CHUNKS = max(1, -(-STEPS // REPORT_EVERY))
 
 
 def main():
@@ -42,37 +46,46 @@ def main():
     model = VoteNet(cfg)
 
     # One fixed epoch of batches, replayed in the same order for both arms.
+    # Stack straight from the batch iterator (no intermediate list of device
+    # arrays — the stacked epoch alone is ~250 MB at full size) and pass it
+    # as an explicit jit ARGUMENT: captured as a trace constant it would be
+    # baked into both arms' executables, holding the data twice on device.
     scenes = list(synthetic_scenes(0, cfg, 8 if TINY else 512))
-    batches = [
-        {k: jnp.asarray(v) for k, v in b.items()}
-        for b in batch_scenes(iter(scenes), B, cfg.max_gt_boxes)
-    ]
-    stacked = {
-        k: jnp.stack([b[k] for b in batches]) for k in batches[0]
-    }
-    n_batches = len(batches)
+    per_key = {}
+    n_batches = 0
+    for b in batch_scenes(iter(scenes), B, cfg.max_gt_boxes):
+        for k, v in b.items():
+            per_key.setdefault(k, []).append(np.asarray(v))
+        n_batches += 1
+    stacked = {k: jnp.asarray(np.stack(v)) for k, v in per_key.items()}
+    del per_key
 
     curves = {}
     for pack in ("none", "bf16_hilo"):
+        # The gather_packing mode is consulted at TRACE time
+        # (ops.dispatch.gather_packing() inside the SA module), so each arm
+        # MUST re-jit from scratch — reusing a compiled step across arms
+        # would silently run identical numerics. A fresh `chunk` closure per
+        # arm gives jax a fresh pjit cache entry.
         dispatch.set_gather_packing(pack)
         step = make_train_step(model, cfg)
         state = create_train_state(jax.random.PRNGKey(0), cfg,
                                    steps_per_epoch=n_batches)
 
-        @jax.jit
-        def chunk(s, lo):
+        @functools.partial(jax.jit, donate_argnums=0)
+        def chunk(s, data, lo):
             def body(i, carry):
                 c, acc = carry
                 batch = jax.tree_util.tree_map(
-                    lambda x: x[(lo + i) % n_batches], stacked
+                    lambda x: x[(lo + i) % n_batches], data
                 )
                 c2, metrics = step(c, batch)
                 return c2, acc + metrics["total_cost"]
             return lax.fori_loop(0, REPORT_EVERY, body, (s, jnp.float32(0.0)))
 
         losses = []
-        for k in range(STEPS // REPORT_EVERY):
-            state, tot = chunk(state, k * REPORT_EVERY)
+        for k in range(N_CHUNKS):
+            state, tot = chunk(state, stacked, k * REPORT_EVERY)
             losses.append(float(tot) / REPORT_EVERY)
             print(f"pack={pack:9s} step {(k + 1) * REPORT_EVERY:5d}: "
                   f"mean total_cost {losses[-1]:.4f}", flush=True)

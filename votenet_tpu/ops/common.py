@@ -45,10 +45,13 @@ def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     Computed as an explicit difference-square-sum (XLA fuses this into a
     single loop, nothing 4-D hits HBM) rather than the matmul expansion
     ``|a|^2+|b|^2-2ab`` — the direct form is exact. Used by the oracle /
-    parity paths (query_ball_point_topk, knn_point, three_nn). The
-    PRODUCTION ball query deliberately uses the mm expansion instead —
-    exactness there measured +41.6% at sa1 for a few-ulp boundary band; see
-    the DOCUMENTED DEVIATION note in :mod:`votenet_tpu.ops.grouping`.
+    parity paths (query_ball_point_topk, knn_point, three_nn) AND — since
+    round 3 made ``bq_precision="exact"`` the default — by the production
+    ball query (both the XLA hierarchical twin and the Pallas kernel use
+    this same rounding sequence for their hit tests, which is what makes
+    them bit-identical to the oracle). The mm expansion remains the opt-in
+    "fast_bf16" speed mode; see the RADIUS-BOUNDARY PRECISION note in
+    :mod:`votenet_tpu.ops.grouping` (the one authoritative statement).
     """
     diff = a[..., :, None, :] - b[..., None, :, :]
     return jnp.sum(diff * diff, axis=-1)
