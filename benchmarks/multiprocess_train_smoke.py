@@ -103,6 +103,62 @@ def _launch_pod(nproc, dev_per_proc, log_dirs, extra_args, max_epoch):
     return rc, outs
 
 
+def fast_resume_only() -> int:
+    """Minimal broadcast-resume rehearsal for the FAST test lane (VERDICT r4
+    #7): 2 processes x 1 device, tiny preset, no mAP eval (its compile is
+    the slow part on a 1-core host), no solo control. The epoch-1
+    checkpoint is baked IN-PROCESS here (same create_train_state path the
+    trainer uses, same seed/steps_per_epoch the pod will compute), so only
+    ONE pod launch is paid: the resume phase itself, with an EMPTY log_dir
+    on process 1 — restore on process 0 + broadcast over the mesh, the
+    exact `train/loop.py:_resume_broadcast` path the 4-proc slow rehearsal
+    exercises, at a fraction of its wall clock."""
+    sys.path.insert(0, REPO)
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), "jax_cache_mp_smoke"),
+    )
+    import jax
+    import jax.numpy as jnp
+
+    from votenet_tpu.config import tiny_config
+    from votenet_tpu.train.state import create_train_state
+    from votenet_tpu.utils import checkpoint as ckpt
+
+    # mirror run_train.py: BASE_ARGS preset=tiny/batch_size=8/seed=0 with
+    # --synthetic=8 and nproc=2 -> local_batch=4, steps_per_epoch=8//4=2
+    cfg = tiny_config(batch_size=8)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, steps_per_epoch=2)
+    l2_init = float(jnp.sqrt(sum(
+        jnp.vdot(p, p).real for p in jax.tree_util.tree_leaves(state.params)
+    )))
+
+    tmp = tempfile.mkdtemp(prefix="mp_fast_resume_")
+    shared = os.path.join(tmp, "pod")
+    os.makedirs(shared, exist_ok=True)
+    ckpt.save_checkpoint(shared, state, step=1)
+
+    no_eval = ["--eval_every_k_epochs=99"]
+    log_dirs = [shared, os.path.join(tmp, "empty_1")]
+    rc, outs = _launch_pod(2, 1, log_dirs, no_eval, max_epoch=2)
+    if rc != 0:
+        return 1
+    for i, o in enumerate(outs):
+        assert "resumed from epoch 1 (broadcast)" in o, (
+            f"proc {i} did not broadcast-resume"
+        )
+    fps = [re.search(r"final params_l2=([\d.]+)", o).group(1) for o in outs]
+    assert len(set(fps)) == 1, f"post-resume divergence: {fps}"
+    assert abs(float(fps[0]) - l2_init) > 1e-4, (
+        "epoch 2 did not train past the baked checkpoint"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(f"RESUME PHASE PASSED: broadcast-resumed on 2 procs, "
+          f"params_l2={fps[0]}", flush=True)
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--nproc", type=int, default=2)
@@ -111,7 +167,11 @@ def main() -> int:
                     help="dp x sp mesh: (data=nproc, points=dev_per_proc)")
     ap.add_argument("--resume_phase", action="store_true",
                     help="exercise broadcast-resume without a shared log_dir")
+    ap.add_argument("--fast_resume", action="store_true",
+                    help="fast-lane 2-process broadcast-resume-only variant")
     args = ap.parse_args()
+    if args.fast_resume:
+        return fast_resume_only()
     nproc, dpp = args.nproc, args.dev_per_proc
     n_dev = nproc * dpp
 

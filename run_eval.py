@@ -22,7 +22,12 @@ def main():
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--ious", type=float, nargs="+", default=[0.25, 0.5])
     parser.add_argument("--batch_size", type=int, default=8)
-    parser.add_argument("--preset", default="full", choices=["full", "tiny"])
+    parser.add_argument("--preset", default="full",
+                        choices=["full", "tiny", "throughput"],
+                        help="throughput = bf16 batch serving (f32-trained "
+                             "checkpoints load unchanged; measured +5% at "
+                             "B=8 with ~0.01 held-out-mAP cost — DESIGN.md "
+                             "serving table)")
     args, config_argv = parser.parse_known_args()
 
     from votenet_tpu.config import config_from_args, default_config, tiny_config
@@ -32,7 +37,14 @@ def main():
     from votenet_tpu.train.state import create_train_state
     from votenet_tpu.utils import checkpoint as ckpt
 
-    cfg = tiny_config() if args.preset == "tiny" else default_config()
+    if args.preset == "tiny":
+        cfg = tiny_config()
+    elif args.preset == "throughput":
+        # serving-side speed: bf16 MLP compute (B>=8 batch eval; keep f32
+        # for B=1 latency serving — it measures SLOWER there, DESIGN.md)
+        cfg = default_config(compute_dtype="bfloat16")
+    else:
+        cfg = default_config()
     cfg = config_from_args(config_argv, base=cfg)
     apply_config(cfg)
     state = create_train_state(jax.random.PRNGKey(0), cfg, steps_per_epoch=1)

@@ -30,8 +30,14 @@ def main():
     parser.add_argument("--max_epoch", type=int, default=None)
     parser.add_argument("--pad_semantics", default="reference",
                         choices=["reference", "masked"])
-    parser.add_argument("--preset", default="full", choices=["full", "tiny"],
-                        help="tiny = scaled-down model for smoke tests")
+    parser.add_argument("--preset", default="full",
+                        choices=["full", "tiny", "throughput"],
+                        help="tiny = scaled-down model for smoke tests; "
+                             "throughput = full model with the measured "
+                             "speed opt-ins bundled (fast_bf16 gradient "
+                             "scatter — see votenet_tpu.config."
+                             "throughput_config and the DESIGN.md table). "
+                             "full = reference-parity defaults")
     parser.add_argument("--scan_gt", action="store_true",
                         help="scan the split's GT-box count distribution, "
                              "check it against max_gt_boxes, and exit "
@@ -79,9 +85,13 @@ def main():
     from votenet_tpu.train.loop import Trainer
     from votenet_tpu.train.state import create_train_state
 
-    from votenet_tpu.config import tiny_config
+    from votenet_tpu.config import throughput_config, tiny_config
 
-    cfg = tiny_config() if args.preset == "tiny" else default_config()
+    cfg = {
+        "tiny": tiny_config,
+        "throughput": throughput_config,
+        "full": default_config,
+    }[args.preset]()
     # any scalar Config field is overridable: --use_pallas=False,
     # --compute_dtype=bfloat16, --max_gt_boxes=128, ...
     cfg = config_from_args(config_argv, base=cfg)

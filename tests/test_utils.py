@@ -59,3 +59,22 @@ class TestConfig:
         cfg = default_config().replace(nms_iou=0.5)
         assert cfg.nms_iou == 0.5
         assert default_config().nms_iou == 0.25  # frozen original
+
+    def test_throughput_preset(self):
+        """--preset=throughput bundles exactly the measured speed opt-ins;
+        parity defaults (and everything else) are untouched."""
+        from votenet_tpu.config import throughput_config
+
+        cfg = throughput_config()
+        assert cfg.scatter_precision == "fast_bf16"
+        # gather_packing measured NEGATIVE (r5 packed_gather_bench) and is
+        # deliberately NOT in the preset
+        assert cfg.gather_packing == "none"
+        # everything NOT a speed opt-in equals the parity default
+        base = default_config()
+        assert cfg.replace(scatter_precision=base.scatter_precision) == base
+        # CLI overrides still apply on top of the preset
+        cfg2 = config_from_args(
+            ["--scatter_precision=exact"], base=throughput_config()
+        )
+        assert cfg2.scatter_precision == "exact"

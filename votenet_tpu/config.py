@@ -161,6 +161,35 @@ def tiny_config(**overrides) -> Config:
     return Config(**base)
 
 
+def throughput_config(**overrides) -> Config:
+    """The documented speed preset (``--preset=throughput``): every opt-in
+    that measured FASTER end-to-end with bounded, characterized numerics
+    deviations, bundled behind one flag. The parity DEFAULTS are unchanged —
+    this is the "I want speed, I read the table" switch (DESIGN.md
+    "throughput preset" table for the measured scenes/s + held-out-mAP of
+    each knob):
+
+    - ``scatter_precision="fast_bf16"``: single-pass MXU gradient scatter,
+      ~1e-3 relative gradient rounding (ops/dispatch.py). Measured +9.3%
+      train step (benchmarks/packed_gather_bench.py grid, v5e round 5).
+
+    NOT included — measured negative and therefore killed from the preset
+    (kept as a tested opt-in): ``gather_packing="bf16_hilo"`` (0.975x /
+    0.990x vs "none" under exact / fast_bf16 scatter — the hi/lo pack +
+    upcast work costs more than the halved gather bytes save; same bench).
+
+    Serving-side bf16 (compute_dtype) is a separate knob: it pays at B>=8
+    batch serving (+5%) but LOSES at B=1 latency serving (-7%), so the
+    preset does not hard-wire it; run_eval --preset=throughput applies it
+    for batch evaluation.
+    """
+    base = dict(
+        scatter_precision="fast_bf16",
+    )
+    base.update(overrides)
+    return Config(**base)
+
+
 def config_from_args(
     argv: Optional[Sequence[str]] = None, base: Optional[Config] = None
 ) -> Config:

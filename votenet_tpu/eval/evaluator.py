@@ -65,6 +65,28 @@ class DeviceSceneCache:
             yield self.ids[s : s + B], self.points[s : s + B]
 
 
+def decode_batch_predictions(ids, out, pred_all: Dict) -> None:
+    """Host decode of one fetched batch into per-scene detection lists.
+
+    out: {"bboxes" (B,P,8,3), "class_scores" (B,P,NC), "keep" (B,P)} numpy.
+    Writes pred_all[img_id] = [(classname, bbox (8,3), score)] — the same
+    tuples as the reference's per-scene decode (evaluator.py:224-231), but
+    with ONE fancy-index per scene instead of a Python loop of per-det
+    `bboxes[bi, pi]` scalar indexing (phase attribution of the eval wall:
+    benchmarks/eval_profile.py)."""
+    bboxes = np.asarray(out["bboxes"])
+    class_scores = np.asarray(out["class_scores"])
+    keep = np.asarray(out["keep"])
+    cls_idx = np.argmax(class_scores, axis=-1)  # (B, P)
+    best = np.take_along_axis(class_scores, cls_idx[..., None], axis=-1)[..., 0]
+    for bi, img_id in enumerate(ids):
+        k = np.nonzero(keep[bi])[0]
+        names = [CLASS2TYPE[c] for c in cls_idx[bi, k].tolist()]
+        pred_all[img_id] = list(
+            zip(names, list(bboxes[bi, k]), best[bi, k].tolist())
+        )
+
+
 class Evaluator:
     """Runs batched VoteNet inference over a scene set and computes mAP."""
 
@@ -108,22 +130,7 @@ class Evaluator:
         def drain(n_keep: int):
             while len(pending) > n_keep:
                 ids, out = pending.popleft()
-                bboxes = np.asarray(out["bboxes"])
-                class_scores = np.asarray(out["class_scores"])
-                keep = np.asarray(out["keep"])
-                cls_idx = np.argmax(class_scores, axis=-1)  # (B, P)
-                best = np.take_along_axis(
-                    class_scores, cls_idx[..., None], axis=-1
-                )[..., 0]
-                for bi, img_id in enumerate(ids):
-                    dets = []
-                    for pi in np.nonzero(keep[bi])[0]:
-                        dets.append((
-                            CLASS2TYPE[int(cls_idx[bi, pi])],
-                            bboxes[bi, pi],
-                            float(best[bi, pi]),
-                        ))
-                    pred_all[img_id] = dets
+                decode_batch_predictions(ids, out, pred_all)
 
         if isinstance(scenes, DeviceSceneCache):
             assert scenes.batch_size == B, (
