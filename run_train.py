@@ -47,6 +47,13 @@ def main():
                         help="log per-leaf weight-RMS / grad-norm scalars to "
                              "stat.json (the reference's weight/gradient "
                              "summaries, model.py:236,250)")
+    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                        help="chain K optimizer steps into one jitted "
+                             "dispatch (lax.scan over K host-stacked "
+                             "batches): same step sequence, K fewer "
+                             "host->device round trips — the lever for "
+                             "high-dispatch-latency hosts (axon tunnel). "
+                             "Single-device only; ignored on a mesh")
     parser.add_argument("--seed", type=int, default=0,
                         help="run seed: parameter init + epoch-shuffle order "
                              "(default 0 = the deterministic A2 baseline; "
@@ -277,6 +284,7 @@ def main():
         log_dir=args.log_dir, mesh=mesh,
         pad_semantics=args.pad_semantics, eval_callback=eval_callback,
         with_summaries=args.with_summaries,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     final_state = trainer.fit(batch_factory)
 

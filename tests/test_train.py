@@ -85,6 +85,34 @@ class TestTrainStep:
         assert int(s1.step) == int(state.step) + 1
 
 
+class TestStepsPerDispatch:
+    def test_chunked_equals_single_step(self, tmp_path):
+        """steps_per_dispatch=K (lax.scan chunking) trains the IDENTICAL
+        step sequence: params/opt-state after 5 batches (one K=2 tail
+        through the single-step path) match the K=1 trainer bitwise."""
+        from votenet_tpu.models.votenet import VoteNet
+        from votenet_tpu.train.loop import Trainer
+        from votenet_tpu.train.state import create_train_state
+
+        cfg = smoke_config()
+        batches = synthetic_batches(cfg, 5)
+        model = VoteNet(cfg)
+
+        finals = []
+        for k in (1, 2):
+            state = create_train_state(jax.random.PRNGKey(0), cfg, steps_per_epoch=5)
+            tr = Trainer(model, cfg, state, log_dir=None, steps_per_dispatch=k)
+            tr.train_epoch(iter(batches))
+            finals.append(tr.state)
+            assert int(tr.state.step) == 5
+        a = jax.tree_util.tree_leaves(finals[0].params)
+        b = jax.tree_util.tree_leaves(finals[1].params)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=0, atol=0
+            )
+
+
 class TestCheckpoint:
     def test_roundtrip_and_autoresume(self, tmp_path):
         from votenet_tpu.train.state import create_train_state

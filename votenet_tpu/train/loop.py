@@ -120,6 +120,7 @@ class Trainer:
         pad_semantics: str = "reference",
         eval_callback: Optional[Callable[[TrainState, int], Dict]] = None,
         with_summaries: bool = False,
+        steps_per_dispatch: int = 1,
     ):
         self.model = model
         self.config = config
@@ -127,6 +128,18 @@ class Trainer:
         self.log_dir = log_dir
         self.mesh = mesh
         self.eval_callback = eval_callback
+        # steps_per_dispatch > 1 chains K optimizer steps into ONE jitted
+        # call (lax.scan over K host-stacked batches): the same step
+        # sequence, K fewer host->device dispatches. This is the lever for
+        # high-dispatch-latency hosts (the axon tunnel pays ~0.2 s PER
+        # DISPATCH some sessions — 512-step epochs went 150 s -> ~50 s at
+        # K=8); it also drops the per-step metric-fetch syncs to one per
+        # chunk. Single-device only (a pod's per-host input pipelines feed
+        # per-step shard_batch placement; K=1 there).
+        self.steps_per_dispatch = max(1, int(steps_per_dispatch))
+        if mesh is not None:
+            self.steps_per_dispatch = 1
+        self._train_chunk = None  # built lazily (size-specialized)
         # Multi-process pods: every process runs the identical jitted steps
         # (SPMD), but only process 0 writes checkpoints/stat.json and prints
         # step lines. log_dir does NOT need to be shared: resume() restores
@@ -140,6 +153,7 @@ class Trainer:
         step_fn = make_train_step(
             model, config, pad_semantics, with_summaries=with_summaries
         )
+        self._step_fn = step_fn
         # dp x sp: a mesh with a "points" axis shards the input cloud over
         # its point dimension as well (the SP backbone must be enabled on
         # the model via VoteNet(sp_mesh=...) by the caller — run_train does)
@@ -219,7 +233,11 @@ class Trainer:
         """One epoch. Metrics are fetched to the host only every
         ``metrics_every`` steps — each fetch synchronizes the device (and
         pays the full tunnel RTT under axon), while steps in between stay
-        async-dispatched back-to-back."""
+        async-dispatched back-to-back. With ``steps_per_dispatch`` K > 1
+        the epoch runs in K-step jitted chunks (same step sequence, K
+        fewer dispatches; see __init__)."""
+        if self.steps_per_dispatch > 1:
+            return self._train_epoch_chunked(batches, metrics_every)
         step_in_epoch = 0
         metrics = None
         for batch in batches:
@@ -231,6 +249,80 @@ class Trainer:
         if metrics is not None and step_in_epoch % metrics_every != 0:
             host = {k: float(v) for k, v in metrics.items()}
             self.logger.log_step(int(self.state.step), host)
+        self.epoch += 1
+        return self.logger.moving.averages()
+
+    def _train_epoch_chunked(self, batches: Iterable[Dict], metrics_every: int) -> Dict[str, float]:
+        """K-steps-per-dispatch epoch: host-stack K batches, one jitted
+        lax.scan of the SAME step function over them. A short tail (epoch
+        length not divisible by K) runs through the single-step path, so
+        any epoch length trains the identical step sequence."""
+        import numpy as np
+
+        K = self.steps_per_dispatch
+        if self._train_chunk is None:
+            step_fn = self._step_fn
+
+            def chunk_fn(state, stacked):
+                def body(s, b):
+                    return step_fn(s, b)
+
+                state, ms = jax.lax.scan(body, state, stacked)
+                # only the chunk's final metrics leave the device
+                return state, jax.tree_util.tree_map(lambda a: a[-1], ms)
+
+            self._train_chunk = jax.jit(chunk_fn, donate_argnums=0)
+
+        log_every_chunks = max(1, metrics_every // K)
+        metrics = None
+        chunk_i = 0
+        # Deferred metric logging: float()-ing a chunk's metrics right after
+        # dispatch would SYNC on that chunk (one tunnel RTT per chunk, which
+        # serializes transfer/compute pipelining). Instead the fetch happens
+        # one chunk LATER — by then the values are ready and the fetch is
+        # free. Step numbers are tracked on the host for the same reason
+        # (int(state.step) would also sync).
+        pending_log = None  # (host_step, device metrics)
+        host_step = int(self.state.step)  # state is materialized here: free
+        it = iter(batches)
+        while True:
+            chunk = []
+            for batch in it:
+                chunk.append(batch)
+                if len(chunk) == K:
+                    break
+            if not chunk:
+                break
+            if len(chunk) < K:  # tail: single-step path
+                for batch in chunk:
+                    self.state, metrics = self._train_step(
+                        self.state, self._put_batch(batch)
+                    )
+                    host_step += 1
+                pending_log = (host_step, metrics)
+                break
+            stacked = {
+                k: np.stack([np.asarray(b[k]) for b in chunk])
+                for k in chunk[0]
+            }
+            self.state, metrics = self._train_chunk(self.state, stacked)
+            chunk_i += 1
+            host_step += K
+            if pending_log is not None:
+                step_no, m = pending_log
+                self.logger.log_step(
+                    step_no, {k: float(v) for k, v in m.items()}
+                )
+                pending_log = None
+            if chunk_i % log_every_chunks == 0:
+                pending_log = (host_step, metrics)
+        if pending_log is not None:
+            step_no, m = pending_log
+            self.logger.log_step(step_no, {k: float(v) for k, v in m.items()})
+        elif metrics is not None:
+            self.logger.log_step(
+                host_step, {k: float(v) for k, v in metrics.items()}
+            )
         self.epoch += 1
         return self.logger.moving.averages()
 
