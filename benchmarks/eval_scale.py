@@ -23,7 +23,9 @@ def main(n: int = 5050):
 
     from votenet_tpu.config import default_config
     from votenet_tpu.data.synthetic import synthetic_gt_all, synthetic_scenes
-    from votenet_tpu.eval.evaluator import Evaluator, make_predict_fn
+    from votenet_tpu.eval.evaluator import (
+        Evaluator, make_packed_predict_fn, make_predict_fn,
+    )
     from votenet_tpu.models.votenet import VoteNet
 
     cfg = default_config()

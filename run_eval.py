@@ -21,7 +21,9 @@ def main():
     parser.add_argument("--cache_dir", default=None)
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--ious", type=float, nargs="+", default=[0.25, 0.5])
-    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--batch_size", type=int, default=64,
+                        help="eval batch (results are batch-independent; "
+                             "large batches amortize fetch round trips)")
     parser.add_argument("--preset", default="full",
                         choices=["full", "tiny", "throughput"],
                         help="throughput = bf16 batch serving (f32-trained "
@@ -32,7 +34,7 @@ def main():
 
     from votenet_tpu.config import config_from_args, default_config, tiny_config
     from votenet_tpu.ops.dispatch import apply_config
-    from votenet_tpu.eval.evaluator import Evaluator, make_predict_fn
+    from votenet_tpu.eval.evaluator import Evaluator, make_packed_predict_fn
     from votenet_tpu.models.votenet import VoteNet
     from votenet_tpu.train.state import create_train_state
     from votenet_tpu.utils import checkpoint as ckpt
@@ -52,7 +54,7 @@ def main():
     print(f"checkpoint: {'epoch %s' % step if step else 'NONE (random init)'}")
 
     model = VoteNet(cfg)
-    predict = make_predict_fn(
+    predict = make_packed_predict_fn(
         model, {"params": state.params, "batch_stats": state.batch_stats}, cfg
     )
 

@@ -86,7 +86,7 @@ def main():
     from votenet_tpu.config import config_from_args, default_config
     from votenet_tpu.data.dataflow import SunRGBDDataFlow, batch_scenes
     from votenet_tpu.data.synthetic import synthetic_gt_all, synthetic_scenes
-    from votenet_tpu.eval.evaluator import Evaluator, make_predict_fn
+    from votenet_tpu.eval.evaluator import Evaluator, make_packed_predict_fn
     from votenet_tpu.models.votenet import VoteNet
     from votenet_tpu.parallel.mesh import make_mesh
     from votenet_tpu.train.loop import Trainer
@@ -251,7 +251,10 @@ def main():
     # eval runs on process 0 as a LOCAL jit — it must not carry the SP
     # model's mesh collectives; params are structure-identical either way
     eval_model = VoteNet(cfg) if sp else model
-    evaluator = Evaluator(cfg, gt_all, batch_size=max(cfg.batch_size, 4))
+    # eval batch 64: the periodic-eval wall is device->host FETCH round
+    # trips, not device compute (benchmarks/eval_profile.py) — bigger
+    # batches cut them linearly; results are batch-size-independent
+    evaluator = Evaluator(cfg, gt_all, batch_size=max(cfg.batch_size, 64))
 
     # Val points are uploaded to the device ONCE (first eval trigger) and
     # stay HBM-resident across all periodic evals — re-uploading 5050 x
@@ -271,7 +274,7 @@ def main():
             _val_dev_cache.append(
                 DeviceSceneCache(val_iter(), batch_size=evaluator.batch_size)
             )
-        predict = make_predict_fn(
+        predict = make_packed_predict_fn(
             eval_model,
             {"params": state.params, "batch_stats": state.batch_stats}, cfg,
         )

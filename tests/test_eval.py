@@ -163,3 +163,49 @@ class TestEvaluatorEndToEnd:
             for (c1, b1, s1), (c2, b2, s2) in zip(host[img_id], dev[img_id]):
                 assert c1 == c2 and s1 == pytest.approx(s2, rel=1e-6)
                 np.testing.assert_allclose(b1, b2, rtol=1e-6)
+
+
+class TestPackedPredictor:
+    def test_packed_matches_plain_end_to_end(self, rng):
+        """make_packed_predict_fn (device-compacted fetch) must produce
+        byte-identical per-scene detection lists — and therefore identical
+        mAP — to the plain dict predictor, on a real tiny model with
+        partial/empty keep masks."""
+        import jax
+
+        from votenet_tpu.config import tiny_config
+        from votenet_tpu.data.synthetic import synthetic_gt_all, synthetic_scenes
+        from votenet_tpu.eval.evaluator import (
+            Evaluator,
+            make_packed_predict_fn,
+            make_predict_fn,
+        )
+        from votenet_tpu.models.votenet import VoteNet
+
+        cfg = tiny_config()
+        scenes = synthetic_scenes(0, cfg, 6)
+        gt_all = synthetic_gt_all(scenes)
+        pairs = [(int(s["data_idx"]), s["points"]) for s in scenes]
+
+        model = VoteNet(cfg)
+        pts0 = np.zeros((1, cfg.point_num, 3), np.float32)
+        variables = jax.jit(lambda r, p: model.init(r, p, train=False))(
+            jax.random.PRNGKey(0), pts0
+        )
+        plain = make_predict_fn(model, variables, cfg)
+        packed = make_packed_predict_fn(model, variables, cfg)
+
+        ev = Evaluator(cfg, gt_all, batch_size=4)
+        a = ev.predictions_for_scenes(plain, pairs)
+        b = ev.predictions_for_scenes(packed, pairs)
+        assert set(a) == set(b)
+        n_dets = 0
+        for img_id in a:
+            assert len(a[img_id]) == len(b[img_id])
+            n_dets += len(a[img_id])
+            for (c1, b1, s1), (c2, b2, s2) in zip(a[img_id], b[img_id]):
+                assert c1 == c2 and s1 == s2
+                np.testing.assert_array_equal(b1, b2)
+        ra = ev.evaluate(plain, pairs)
+        rb = ev.evaluate(packed, pairs)
+        assert ra["mAP"] == rb["mAP"]
