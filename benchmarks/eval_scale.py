@@ -53,7 +53,7 @@ def main(n: int = 5050):
           f"({n / dt:.1f} scenes/s) mAP={result['mAP']:.4f}", flush=True)
 
     # device-resident val set: one upload, then every eval is slice-only
-    from votenet_tpu.eval.evaluator import DeviceSceneCache
+    from votenet_tpu.eval.evaluator import DeviceSceneCache, make_packed_predict_fn
 
     t0 = time.perf_counter()
     cache = DeviceSceneCache(scene_iter, batch_size=8)
@@ -64,6 +64,19 @@ def main(n: int = 5050):
         result = ev.evaluate(predict, cache)
         dt = time.perf_counter() - t0
         print(f"[device-cache] trigger {trigger}: {n} scenes in {dt:.1f}s "
+              f"({n / dt:.1f} scenes/s) mAP={result['mAP']:.4f}", flush=True)
+
+    # PRODUCTION path (run_train eval callback): packed fetch-compacted
+    # predictor + batch 64 — fetch bytes scale with detections, round
+    # trips drop 8x (see benchmarks/eval_profile.py attribution)
+    ev64 = Evaluator(cfg, gt_all, batch_size=64)
+    packed = make_packed_predict_fn(model, variables, cfg)
+    cache64 = DeviceSceneCache(scene_iter, batch_size=64)
+    for trigger in range(2):
+        t0 = time.perf_counter()
+        result = ev64.evaluate(packed, cache64)
+        dt = time.perf_counter() - t0
+        print(f"[packed B=64] trigger {trigger}: {n} scenes in {dt:.1f}s "
               f"({n / dt:.1f} scenes/s) mAP={result['mAP']:.4f}", flush=True)
 
 
