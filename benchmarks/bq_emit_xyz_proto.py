@@ -46,8 +46,8 @@ def _bq_emit_kernel(
     x_ref, y_ref, z_ref,        # (1, nc, 128) f32 point planes
     qx_ref, qy_ref, qz_ref,     # (1, Mt, 1, 1) f32 query planes
     tri_nc_ref, tri_c_ref,      # triangular-ones (bf16)
-    p9_ref,                     # (nc, 9*128) bf16: per term t cols t*384:...
-                                # hold [x_t | y_t | z_t] 128-lane planes
+    pa_ref, pb_ref, pc_ref,     # (nc, 3*128) bf16 per split term:
+                                # [x_t | y_t | z_t] 128-lane planes
     idx_ref, cnt_ref,           # (1, Mt, S) i32, (1, Mt, 1) i32
     gx_ref, gy_ref, gz_ref,     # (1, Mt, S) f32 grouped coordinates
     hit_ref,                    # (Mt, nc, 128) bf16 scratch
@@ -116,9 +116,9 @@ def _bq_emit_kernel(
     gx = jnp.zeros((Mt, S), jnp.float32)
     gy = jnp.zeros((Mt, S), jnp.float32)
     gz = jnp.zeros((Mt, S), jnp.float32)
-    for t in range(3):
+    for term_ref in (pa_ref, pb_ref, pc_ref):
         g3 = lax.dot_general(
-            oh, p9_ref[0, :, t * 3 * _LANES:(t + 1) * 3 * _LANES],
+            oh, term_ref[0],
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Mt, S, 384): chosen chunk's [x_t | y_t | z_t] planes per slot
@@ -154,11 +154,19 @@ def _bq_emit_kernel(
 
 
 def _split3(p):
-    """f32 plane -> (hi, mid, lo) bf16 with hi+mid+lo == p (bf16x3 split)."""
+    """f32 plane -> (hi, mid, lo) bf16 with hi+mid+lo == p (bf16x3 split).
+
+    The optimization barriers are LOAD-BEARING on TPU: XLA's bf16
+    propagation folds the f32->bf16->f32 round trip to identity, which
+    silently turns the residuals into zeros (first observed as "emitted
+    grouped xyz == bf16(x) exactly" on hardware while interpret mode was
+    bit-exact)."""
     hi = p.astype(jnp.bfloat16)
-    r1 = p - hi.astype(jnp.float32)
+    r1 = p - lax.optimization_barrier(hi).astype(jnp.float32)
     mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    lo = (r1 - lax.optimization_barrier(mid).astype(jnp.float32)).astype(
+        jnp.bfloat16
+    )
     return hi, mid, lo
 
 
@@ -190,12 +198,12 @@ def query_ball_point_emit_xyz(radius, nsample, xyz1, xyz2):
     qplanes = jnp.pad(qplanes, ((0, 0), (0, 0), (0, Mp - M)))
     qplanes = qplanes.reshape(3, B, Mp, 1, 1)
 
-    # packed operand: term t (hi/mid/lo) occupies cols [t*384, (t+1)*384)
-    # as [x_t | y_t | z_t] 128-lane planes
+    # one (B, nc, 3*128) [x_t | y_t | z_t] operand per split term
     terms = [_split3(planes[i]) for i in range(3)]  # [(hi,mid,lo)] per coord
-    p9 = jnp.concatenate(
-        [terms[i][t] for t in range(3) for i in range(3)], axis=-1
-    )  # (B, nc, 9*128) bf16
+    p_terms = [
+        jnp.concatenate([terms[i][t] for i in range(3)], axis=-1)
+        for t in range(3)
+    ]
 
     iota = lax.broadcasted_iota(jnp.int32, (nc, nc), 0)
     jota = lax.broadcasted_iota(jnp.int32, (nc, nc), 1)
@@ -212,8 +220,8 @@ def query_ball_point_emit_xyz(radius, nsample, xyz1, xyz2):
                             memory_space=pltpu.VMEM)
     tspec_c = pl.BlockSpec((_LANES, _LANES), lambda b, i: (0, 0),
                            memory_space=pltpu.VMEM)
-    p9spec = pl.BlockSpec((1, nc, 9 * _LANES), lambda b, i: (b, 0, 0),
-                          memory_space=pltpu.VMEM)
+    pterm_spec = pl.BlockSpec((1, nc, 3 * _LANES), lambda b, i: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((1, Mt, S), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM)
 
@@ -221,7 +229,7 @@ def query_ball_point_emit_xyz(radius, nsample, xyz1, xyz2):
         functools.partial(_bq_emit_kernel, float(radius) ** 2, S, nc // ch, ch),
         grid=(B, Mp // Mt),
         in_specs=[pspec, pspec, pspec, qspec, qspec, qspec,
-                  tspec_nc, tspec_c, p9spec],
+                  tspec_nc, tspec_c, pterm_spec, pterm_spec, pterm_spec],
         out_specs=(
             ospec,
             pl.BlockSpec((1, Mt, 1), lambda b, i: (b, i, 0),
@@ -240,7 +248,7 @@ def query_ball_point_emit_xyz(radius, nsample, xyz1, xyz2):
     )(
         planes[0], planes[1], planes[2],
         qplanes[0], qplanes[1], qplanes[2],
-        tri_nc, tri_c, p9,
+        tri_nc, tri_c, p_terms[0], p_terms[1], p_terms[2],
     )
     gxyz = jnp.stack([gx, gy, gz], axis=-1)
     return idx[:, :M], cnt[:, :M, 0], gxyz[:, :M]

@@ -483,10 +483,17 @@ class PointNetSAModule(nn.Module):
                     # backward (grad_skip_prefix=6 keeps the scatter at the
                     # MXU-aligned feature width) and the bf16 feature
                     # cotangent makes that scatter single-pass exact.
+                    # the optimization barrier is LOAD-BEARING on TPU: XLA's
+                    # bf16 propagation folds the f32->bf16->f32 round trip
+                    # to identity, which would make lo all-zeros (silently
+                    # degrading coords to plain bf16, ~0.4% instead of the
+                    # hi+lo ~1e-4 m) — found via the round-5 emit-xyz
+                    # prototype, where the same fold zeroed the split terms
                     hi = gather_xyz.astype(jnp.bfloat16)
-                    lo = (gather_xyz - hi.astype(jnp.float32)).astype(
-                        jnp.bfloat16
-                    )
+                    lo = (
+                        gather_xyz
+                        - lax.optimization_barrier(hi).astype(jnp.float32)
+                    ).astype(jnp.bfloat16)
                     table = jnp.concatenate(
                         [hi, lo, points.astype(jnp.bfloat16)], axis=-1
                     )
