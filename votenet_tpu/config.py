@@ -172,12 +172,13 @@ def throughput_config(**overrides) -> Config:
     - ``scatter_precision="fast_bf16"``: single-pass MXU gradient scatter,
       ~1e-3 relative gradient rounding (ops/dispatch.py). Measured +9.3%
       train step (benchmarks/packed_gather_bench.py grid, v5e round 5).
-      ACCURACY COST IS MEASURED AND REAL on the synthetic 4k-scene
-      benchmark: 90-epoch held-out mAP@0.25 0.648-0.650 across the last 3
-      checkpoints vs 0.707-0.709 for the parity defaults (same seed/data;
-      single seed pair — benchmarks/ckpt_map_sweep.py, DESIGN.md round-5
-      table). Use this preset for throughput-critical experimentation;
-      train FINAL models on the parity defaults.
+      ACCURACY COST IS MEASURED AND REAL: held-out mAP@0.25 is lower at
+      EVERY retained checkpoint of both A/B pairs run — 0.648-0.650 vs
+      0.707-0.709 at the 4k-scene scale (seed 0, 90 epochs) and
+      0.259-0.264 vs 0.264-0.274 at the 1k-scene scale (seed 1, 100
+      epochs; benchmarks/ckpt_map_sweep.py, DESIGN.md round-5 tables).
+      Use this preset for throughput-critical experimentation; train
+      FINAL models on the parity defaults.
 
     NOT included — measured negative and therefore killed from the preset
     (kept as a tested opt-in): ``gather_packing="bf16_hilo"`` (0.975x /
